@@ -1,0 +1,127 @@
+"""Generic two-phase sketch aggregation.
+
+Mirrors PostgreSQL's parallel-aggregate protocol that the reference wires up
+for every sketch family (sfunc -> serialfunc -> [worker boundary] ->
+deserialfunc -> combinefunc -> finalfunc; e.g.
+/root/reference/sql/datasketches_theta_sketch.sql:85-163,
+/root/reference/src/theta_sketch_pg_functions.c:247-334) as idiomatic Spark:
+
+    stage 1 (map side, no shuffle): ``mapInPandas`` folds every Arrow batch
+        of an input partition into ONE serialized sketch state per group —
+        the sfunc + serialfunc. Output rows: (group_cols..., state bytes).
+    stage 2 (one shuffle of tiny states): ``groupBy(group).applyInPandas``
+        merges the per-partition states and finalizes — the combinefunc +
+        finalfunc.
+
+Scale notes:
+- The shuffle moves at most (#partitions x #groups) serialized sketches, KB
+  each — NOT the raw rows. This is what makes sketch metrics additive in a
+  data cube (reference README.md:211,245,299,434) and is the property the
+  dedup pipeline's lineage metrics exploit at 100 TB.
+- For very high-cardinality groups (state-per-group no longer << raw rows),
+  pass ``single_phase=True`` to shuffle raw rows straight into a per-group
+  build (Catalyst plans the exchange; states never materialize map-side).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StructField, StructType
+
+_STATE = "__sketch_state"
+
+
+def _out_schema(df: DataFrame, group_cols: list[str], fields: list[StructField]) -> StructType:
+    base = [df.schema[c] for c in group_cols]
+    return StructType(base + fields)
+
+
+def sketch_groupby_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    input_cols: list[str],
+    partial_fn: Callable[[pd.DataFrame], bytes],
+    merge_fn: Callable[[list[bytes]], bytes],
+    finalize_fn: Callable[[bytes], dict],
+    out_fields: list[StructField],
+    single_phase: bool = False,
+) -> DataFrame:
+    """Aggregate ``input_cols`` into one sketch per group.
+
+    partial_fn : pandas DataFrame (input_cols) for one group-chunk -> state bytes
+    merge_fn   : list of state bytes -> state bytes
+    finalize_fn: state bytes -> {out_col: value}
+    """
+    group_cols = list(group_cols)
+    dummy = not group_cols
+    if dummy:
+        df = df.withColumn("__g", F.lit(1))
+        group_cols = ["__g"]
+
+    proj = df.select(*group_cols, *input_cols)
+    out_schema = _out_schema(proj, group_cols, out_fields)
+
+    if single_phase:
+        def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            state = partial_fn(pdf[input_cols])
+            row = {c: pdf[c].iloc[0] for c in group_cols}
+            row.update(finalize_fn(state))
+            return pd.DataFrame([row])
+
+        result = proj.groupBy(*group_cols).applyInPandas(build_group, schema=out_schema)
+        return result.drop("__g") if dummy else result
+
+    partial_schema = _out_schema(proj, group_cols, [StructField(_STATE, BinaryType())])
+
+    def gen_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict[tuple, list[bytes]] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for key, sub in pdf.groupby(group_cols, dropna=False, sort=False):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                states.setdefault(key, []).append(partial_fn(sub[input_cols]))
+        if states:
+            rows = [
+                dict(zip(group_cols, key)) | {_STATE: merge_fn(parts)}
+                for key, parts in states.items()
+            ]
+            yield pd.DataFrame(rows, columns=group_cols + [_STATE])
+
+    partials = proj.mapInPandas(gen_partials, schema=partial_schema)
+
+    def final_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        state = merge_fn(list(pdf[_STATE]))
+        row = {c: pdf[c].iloc[0] for c in group_cols}
+        row.update(finalize_fn(state))
+        return pd.DataFrame([row])
+
+    result = partials.groupBy(*group_cols).applyInPandas(final_merge, schema=out_schema)
+    return result.drop("__g") if dummy else result
+
+
+def sketch_merge_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    sketch_col: str,
+    merge_fn: Callable[[list[bytes]], bytes],
+    finalize_fn: Callable[[bytes], dict],
+    out_fields: list[StructField],
+) -> DataFrame:
+    """Merge a column of stored sketches per group (the reference's
+    *_union/*_merge aggregates over sketch-typed columns,
+    sql/datasketches_theta_sketch.sql:135-163)."""
+    return sketch_groupby_agg(
+        df,
+        group_cols,
+        [sketch_col],
+        partial_fn=lambda pdf: merge_fn([b for b in pdf[sketch_col] if b is not None]),
+        merge_fn=merge_fn,
+        finalize_fn=finalize_fn,
+        out_fields=out_fields,
+    )

@@ -1,0 +1,195 @@
+"""Unit tests for the pure-numpy sketch kernels, mirroring the reference's
+exact-regime test corpus (SURVEY.md §5, FIXTURES.md §1)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from datasketches_postgresql_spark.sketches import aod, fi, kll, theta
+from datasketches_postgresql_spark.sketches.stats import welch_t_test
+
+
+def h64(vals):
+    """Deterministic stand-in for xxhash64: splitmix64 over ints."""
+    x = np.asarray(vals, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+class TestTheta:
+    """Mirrors /root/reference/test/theta_sketch_test.sql:9-33."""
+
+    def test_exact_regime_set_algebra(self):
+        g1 = theta.build(h64([1, 2, 3, 4, 5]))
+        g2 = theta.build(h64([4, 5, 6, 7, 8]))
+        assert theta.get_estimate(g1) == 5
+        assert theta.get_estimate(theta.union([g1, g2])) == 8
+        assert theta.get_estimate(theta.intersection([g1, g2])) == 2
+        assert theta.get_estimate(theta.a_not_b(g1, g2)) == 3
+
+    def test_exact_bounds_collapse(self):
+        s = theta.build(h64(range(100)))
+        est, lb, ub = theta.get_estimate_and_bounds(s, 2)
+        assert est == lb == ub == 100
+
+    def test_estimation_regime_accuracy(self):
+        n = 200_000
+        s = theta.build(h64(np.arange(n)), lg_k=12)
+        est, lb, ub = theta.get_estimate_and_bounds(s, 3)
+        assert lb <= n <= ub
+        assert abs(est - n) / n < 0.1
+
+    def test_union_merge_equals_build(self):
+        """build(A ∪ B) ~= union(build(A), build(B)) — exact regime: equal."""
+        a, b = h64(range(1000)), h64(range(500, 1500))
+        whole = theta.build(np.concatenate([a, b]))
+        merged = theta.union([theta.build(a), theta.build(b)])
+        assert theta.get_estimate(whole) == theta.get_estimate(merged) == 1500
+
+    def test_union_commutative(self):
+        a, b = theta.build(h64(range(100))), theta.build(h64(range(50, 200)))
+        assert theta.union([a, b]) == theta.union([b, a])
+
+    def test_sampling_p(self):
+        s = theta.build(h64(np.arange(100_000)), lg_k=16, p=0.1)
+        est = theta.get_estimate(s)
+        assert abs(est - 100_000) / 100_000 < 0.05
+
+    def test_roundtrip(self):
+        s = theta.build(h64(range(10)), lg_k=9)
+        lg_k, th, hashes = theta.deserialize(s)
+        assert lg_k == 9 and hashes.size == 10
+        assert theta.serialize(lg_k, th, hashes) == s
+
+
+class TestKll:
+    """Mirrors /root/reference/test/kll_float_sketch_test.sql + FIXTURES 1.2."""
+
+    def test_exact_regime(self):
+        s = kll.KllState.deserialize(kll.build(np.arange(1, 11, dtype=float)))
+        assert s.n == 10
+        assert s.min == 1 and s.max == 10
+        assert s.get_quantile(0.0) == 1 and s.get_quantile(1.0) == 10
+        assert s.get_quantile(0.5) in (5.0, 6.0)
+        assert s.get_rank(5.0) == 0.4  # exclusive: 4 items < 5
+        assert s.get_rank(5.0, inclusive=True) == 0.5
+        pmf = s.get_pmf([2.0, 5.0, 7.0])
+        assert pmf == pytest.approx([0.1, 0.3, 0.2, 0.4])
+        cdf = s.get_cdf([2.0, 5.0, 7.0])
+        assert cdf == pytest.approx([0.1, 0.4, 0.6, 1.0])
+        hist = s.get_histogram(5)
+        assert sum(hist) == pytest.approx(10)
+
+    def test_merge_exact(self):
+        m = kll.merge([kll.build(np.arange(1, 6, dtype=float)),
+                       kll.build(np.arange(6, 11, dtype=float))])
+        s = kll.KllState.deserialize(m)
+        assert s.n == 10 and s.min == 1 and s.max == 10
+        assert s.get_quantile(0.5) in (5.0, 6.0)
+
+    def test_estimation_regime_normal(self):
+        rng = np.random.default_rng(42)
+        x = rng.normal(size=100_000)
+        s = kll.KllState.deserialize(kll.build(x, k=200))
+        assert abs(s.get_quantile(0.5)) < 0.05
+        assert abs(s.get_rank(0.0) - 0.5) < 0.02
+        assert s.n == 100_000
+        # retained items bounded (compaction happened)
+        assert s._total_items() < 3000
+
+    def test_merge_estimation(self):
+        rng = np.random.default_rng(7)
+        parts = [kll.build(rng.normal(size=50_000)) for _ in range(3)]
+        s = kll.KllState.deserialize(kll.merge(parts))
+        assert s.n == 150_000
+        assert abs(s.get_quantile(0.5)) < 0.05
+
+
+class TestFi:
+    """Mirrors /root/reference/test/fi_sketch_test.sql:7-19 + FIXTURES 1.3."""
+
+    def test_exact_merge(self):
+        s1 = fi.build(8, ["a", "b", "a", "a", "c"])
+        s2 = fi.build(8, ["a", "c", "c", "b", "a"])
+        rows = fi.FiState.deserialize(fi.merge(8, [s1, s2])).result(
+            fi.NO_FALSE_NEGATIVES, 0
+        )
+        assert rows == [("a", 5, 5, 5), ("c", 3, 3, 3), ("b", 2, 2, 2)]
+
+    def test_weighted(self):
+        s = fi.build(8, ["x", "y", "x"], [10, 5, 1])
+        rows = fi.FiState.deserialize(s).result(fi.NO_FALSE_POSITIVES, 0)
+        assert rows[0] == ("x", 11, 11, 11)
+
+    def test_purge_bounds_hold(self):
+        rng = np.random.default_rng(1)
+        vals = (rng.zipf(1.3, size=50_000) % 5000).astype(str)
+        s = fi.FiState.deserialize(fi.build(5, vals))
+        import collections
+
+        exact = collections.Counter(vals.tolist())
+        assert s.offset > 0  # purge actually happened
+        for item, est, lb, ub in s.result(fi.NO_FALSE_NEGATIVES, 100):
+            assert lb <= exact[item] <= ub
+        # no-false-negatives: any item with true count > offset is tracked
+        # and must appear at threshold = offset
+        nfn = {r[0] for r in s.result(fi.NO_FALSE_NEGATIVES, s.offset)}
+        for item, c in exact.items():
+            if c > s.offset:
+                assert item in nfn
+
+
+class TestAod:
+    """Mirrors /root/reference/test/aod_sketch_test.sql + FIXTURES 1.4."""
+
+    def test_exact_set_algebra_and_sums(self):
+        a = aod.build(h64([1, 2, 3, 4, 5]), np.ones((5, 1)))
+        b = aod.build(h64([4, 5, 6, 7, 8]), np.ones((5, 1)))
+        assert aod.get_estimate(a) == 5
+        assert aod.get_estimate(aod.union([a, b])) == 8
+        inter = aod.intersection(a, b)
+        assert aod.get_estimate(inter) == 2
+        assert aod.to_means(inter) == [2.0]  # values summed on intersect
+        assert aod.get_estimate(aod.a_not_b(a, b)) == 3
+
+    def test_duplicate_keys_sum(self):
+        s = aod.build(h64([1, 1, 2]), np.array([[1.0], [2.0], [5.0]]))
+        assert aod.get_estimate(s) == 2
+        assert sorted(aod.deserialize(s)[4][:, 0].tolist()) == [3.0, 5.0]
+
+    def test_means_variances(self):
+        s = aod.build(h64([1, 2, 3, 4]), np.array([[1.0, 10], [2, 20], [3, 30], [4, 40]]))
+        assert aod.to_means(s) == [2.5, 25.0]
+        v = aod.to_variances(s)
+        assert v[0] == pytest.approx(np.var([1, 2, 3, 4], ddof=1))
+
+    def test_to_kll(self):
+        s = aod.build(h64(range(100)), np.arange(100, dtype=float).reshape(-1, 1))
+        k = kll.KllState.deserialize(aod.to_kll_float_sketch(s, 1))
+        assert k.n == 100 and k.min == 0 and k.max == 99
+
+    def test_welch_t_test(self):
+        # against scipy-confirmed value: ttest_ind([1,.9,1.1,1],[1.1,1,1.2,1.1], equal_var=False)
+        a = aod.build(h64([1, 2, 3, 4]), np.array([[1.0], [0.9], [1.1], [1.0]]))
+        b = aod.build(h64([5, 6, 7, 8]), np.array([[1.1], [1.0], [1.2], [1.1]]))
+        p = aod.students_t_test(a, b)[0]
+        t, df, p2 = welch_t_test(1.0, np.var([1, 0.9, 1.1, 1], ddof=1), 4,
+                                 1.1, np.var([1.1, 1, 1.2, 1.1], ddof=1), 4)
+        assert p == pytest.approx(p2)
+        assert t == pytest.approx(-1.7320508, rel=1e-6)
+        assert 0.1 < p < 0.2  # known ~0.134
+
+
+class TestStats:
+    def test_t_sf_known_values(self):
+        from datasketches_postgresql_spark.sketches.stats import student_t_sf
+
+        # t=2.0, df=10 -> sf ~= 0.036694
+        assert student_t_sf(2.0, 10) == pytest.approx(0.0366941, rel=1e-4)
+        assert student_t_sf(0.0, 5) == pytest.approx(0.5)
+        assert student_t_sf(-2.0, 10) == pytest.approx(1 - 0.0366941, rel=1e-4)

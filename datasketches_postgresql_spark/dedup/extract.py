@@ -1,0 +1,88 @@
+"""Deterministic HTML -> text extraction.
+
+The pipeline's canonical extraction config (SURVEY.md §7.2 S3): the per-row
+invariant is BYTE-IDENTICAL extracted text per url across runs, parallelism
+levels, and resume (BASELINE.json input_hint). Everything is a fixed
+regex/entity pipeline — no heuristics, no library drift.
+
+Runs as ``mapInPandas`` (Arrow batches); the string work is pandas
+``.str.replace`` (C regex loop over the batch), not per-row Python.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+_SCRIPT_RE = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
+_COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
+_TAG_RE = re.compile(r"(?s)<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+]
+
+
+def extract_text_series(html: pd.Series) -> pd.Series:
+    """bytes -> canonical extracted text (vectorized pandas str ops)."""
+    s = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
+    s = s.str.replace(_SCRIPT_RE, " ", regex=True)
+    s = s.str.replace(_COMMENT_RE, " ", regex=True)
+    s = s.str.replace(_TAG_RE, " ", regex=True)
+    for ent, rep in _ENTITIES:
+        s = s.str.replace(ent, rep, regex=False)
+    s = s.str.replace(_WS_RE, " ", regex=True).str.strip()
+    return s
+
+
+EXTRACTED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("url", StringType()),
+        StructField("lang", StringType()),
+        StructField("text", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def extract_stage(pages: DataFrame) -> DataFrame:
+    """(url, warc_ts, html, text, lang) -> (doc_id, url, lang, text, n_chars).
+
+    doc_id = xxhash64(url): stable across runs/parallelism (required for
+    deterministic cluster ids); at 10^12 docs the 64-bit birthday bound
+    implies ~a few dozen collisions — acceptable for dedup edges (a collision
+    merges two clusters); a 128-bit (two-seed xxhash) variant is the
+    documented upgrade path.
+    """
+    proj = pages.select(
+        F.xxhash64("url").alias("doc_id"),
+        "url",
+        "lang",
+        "html",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            text = extract_text_series(pdf["html"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "url": pdf["url"],
+                    "lang": pdf["lang"],
+                    "text": text,
+                    "n_chars": text.str.len().astype("int64"),
+                }
+            )
+
+    return proj.mapInPandas(run, schema=EXTRACTED_SCHEMA)

@@ -1,0 +1,224 @@
+"""The staged, checkpointed, resumable dedup pipeline (north_rule).
+
+Stages (each checkpointed via sources.io.CheckpointStore, each emitting
+per-partition + global sketch lineage metrics — the DataSketches heritage):
+
+    extracted   html -> canonical text (byte-identical per url)
+    signatures  shingles -> MinHash(128) + SimHash + per-batch theta partial
+                over the shingle hash space (distinct-shingle lineage)
+    candidates  LSH banding -> star candidate edges
+    verified    signature-Jaccard + SimHash Hamming gate, UNION suffix-array
+                containment edges (grouped by host)
+    clusters    large-star/small-star connected components
+    resolved    (doc_id, url, cluster_id, is_representative): representative
+                = min url per cluster (Window row_number)
+
+Resume: a stage whose checkpoint exists under the SAME config hash is read
+back instead of recomputed — exact resume, verified by tests comparing a
+fresh run against an interrupted+resumed run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StructField
+
+from ..operators.agg import sketch_groupby_agg
+from ..sketches import kll as _kll
+from ..sketches import theta as _theta
+from ..sources.io import CheckpointStore
+from .cc import connected_components
+from .extract import extract_stage
+from .lsh import DEFAULT_BANDS, DEFAULT_ROWS, candidate_edges
+from .minhash import DEFAULT_NUM_PERM, signature_stage
+from .shingle import DEFAULT_SHINGLE_N
+from .suffix import DEFAULT_MAX_GROUP_CHARS, DEFAULT_MIN_MATCH_CHARS, containment_edges
+from .verify import DEFAULT_JACCARD, DEFAULT_MAX_HAMMING, verify_edges
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    shingle_n: int = DEFAULT_SHINGLE_N
+    num_perm: int = DEFAULT_NUM_PERM
+    bands: int = DEFAULT_BANDS
+    rows: int = DEFAULT_ROWS
+    minhash_seed: int = 7
+    jaccard_threshold: float = DEFAULT_JACCARD
+    max_hamming: int = DEFAULT_MAX_HAMMING
+    sa_min_match_chars: int = DEFAULT_MIN_MATCH_CHARS
+    sa_max_group_chars: int = DEFAULT_MAX_GROUP_CHARS
+    enable_containment: bool = True
+    lineage_lg_k: int = 12
+
+    def config_hash(self) -> str:
+        blob = json.dumps(dataclasses.asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+
+class DedupPipeline:
+    def __init__(self, spark: SparkSession, checkpoint_dir: str, config: DedupConfig | None = None):
+        self.spark = spark
+        self.config = config or DedupConfig()
+        self.store = CheckpointStore(spark, checkpoint_dir)
+        self._metrics: list[dict] = []
+
+    # -- lineage metrics -----------------------------------------------------
+    def _partition_lineage(self, df: DataFrame, stage: str, id_col: str = "doc_id") -> None:
+        """Per-partition theta sketches over id_col; their union is recorded
+        as the global estimate — the mergeable-partial property the reference
+        calls 'an additive metric in a data cube' (README.md:211,245)."""
+        lg_k = self.config.lineage_lg_k
+        with_pid = df.select(F.spark_partition_id().alias("pid"), F.xxhash64(id_col).alias("__h"))
+
+        def partial(pdf: pd.DataFrame) -> bytes:
+            return _theta.build(pdf["__h"].to_numpy(dtype=np.int64).astype(np.uint64), lg_k)
+
+        per_part = sketch_groupby_agg(
+            with_pid.withColumn("__v", F.lit(True)),
+            ["pid"],
+            ["__h"],
+            partial_fn=partial,
+            merge_fn=lambda s: _theta.union(s, lg_k),
+            finalize_fn=lambda b: {"sketch": b},
+            out_fields=[StructField("sketch", BinaryType())],
+        ).collect()
+        sketches = [bytes(r["sketch"]) for r in per_part]
+        for r, sk in zip(per_part, sketches):
+            self._metrics.append(
+                {
+                    "stage": stage,
+                    "partition": int(r["pid"]),
+                    "metric": "distinct_ids_est",
+                    "value": _theta.get_estimate(sk),
+                }
+            )
+        if sketches:
+            self._metrics.append(
+                {
+                    "stage": stage,
+                    "partition": -1,
+                    "metric": "distinct_ids_est",
+                    "value": _theta.get_estimate(_theta.union(sketches, lg_k)),
+                }
+            )
+
+    def _metric(self, stage: str, metric: str, value: float, partition: int = -1) -> None:
+        self._metrics.append(
+            {"stage": stage, "partition": partition, "metric": metric, "value": float(value)}
+        )
+
+    def _flush_metrics(self) -> DataFrame:
+        pdf = pd.DataFrame(self._metrics or [{"stage": "none", "partition": -1, "metric": "none", "value": 0.0}])
+        df = self.spark.createDataFrame(pdf)
+        return self.store.write(df, "lineage_metrics", self.config.config_hash())
+
+    # -- stage runner ----------------------------------------------------------
+    def _stage(self, name: str, fn, resume: bool) -> DataFrame:
+        h = self.config.config_hash()
+        if resume and self.store.completed(name, h):
+            return self.store.read(name)
+        out = self.store.write(fn(), name, h)
+        return out
+
+    # -- the pipeline ------------------------------------------------------------
+    def run(self, pages: DataFrame, resume: bool = True) -> dict[str, DataFrame]:
+        cfg = self.config
+
+        extracted = self._stage("extracted", lambda: extract_stage(pages), resume)
+        self._partition_lineage(extracted, "extracted")
+        self._metric("extracted", "rows", extracted.count())
+
+        signatures = self._stage(
+            "signatures",
+            lambda: signature_stage(
+                extracted, shingle_n=cfg.shingle_n, num_perm=cfg.num_perm, seed=cfg.minhash_seed
+            ),
+            resume,
+        )
+        shingle_theta = self._distinct_shingles_est(signatures)
+        self._metric("signatures", "distinct_shingles_est", shingle_theta)
+        self._metric("signatures", "rows", signatures.count())
+
+        candidates = self._stage(
+            "candidates",
+            lambda: candidate_edges(signatures, bands=cfg.bands, rows=cfg.rows),
+            resume,
+        )
+        self._metric("candidates", "rows", candidates.count())
+
+        def _verified() -> DataFrame:
+            ver = verify_edges(
+                candidates, signatures, cfg.jaccard_threshold, cfg.max_hamming
+            ).select("a", "b")
+            if cfg.enable_containment:
+                host = F.regexp_extract("url", r"https?://([^/]+)/", 1)
+                cont = containment_edges(
+                    extracted, host, cfg.sa_min_match_chars, cfg.sa_max_group_chars
+                )
+                ver = ver.union(cont).distinct()
+            return ver
+
+        verified = self._stage("verified", _verified, resume)
+        self._metric("verified", "rows", verified.count())
+
+        clusters = self._stage("clusters", lambda: connected_components(verified), resume)
+        n_clusters = clusters.select("cluster_id").distinct().count()
+        docs_in_clusters = clusters.count()
+        self._metric("clusters", "n_clusters", n_clusters)
+        self._metric("clusters", "docs_in_clusters", docs_in_clusters)
+        total_docs = extracted.count()
+        if total_docs:
+            self._metric("clusters", "dup_rate", (docs_in_clusters - n_clusters) / total_docs)
+
+        def _resolved() -> DataFrame:
+            joined = extracted.select("doc_id", "url").join(clusters, "doc_id", "left").withColumn(
+                "cluster_id", F.coalesce("cluster_id", "doc_id")
+            )
+            w = Window.partitionBy("cluster_id").orderBy("url")
+            return joined.withColumn(
+                "is_representative", F.row_number().over(w) == F.lit(1)
+            )
+
+        resolved = self._stage("resolved", _resolved, resume)
+        metrics = self._flush_metrics()
+
+        return {
+            "extracted": extracted,
+            "signatures": signatures,
+            "candidates": candidates,
+            "verified": verified,
+            "clusters": clusters,
+            "resolved": resolved,
+            "metrics": metrics,
+        }
+
+    def _distinct_shingles_est(self, signatures: DataFrame) -> float:
+        """Theta union over the per-batch shingle partials emitted by the
+        signature stage."""
+        rows = signatures.select("shingle_theta").where(F.col("shingle_theta").isNotNull()).collect()
+        parts = [bytes(r["shingle_theta"]) for r in rows]
+        if not parts:
+            return 0.0
+        return _theta.get_estimate(_theta.union(parts, self.config.lineage_lg_k))
+
+
+def dup_pair_recall(resolved: DataFrame, dup_truth: DataFrame) -> float:
+    """Fraction of planted duplicate pairs whose two urls share a cluster —
+    the BASELINE.json recall metric (>= 0.99 target)."""
+    r = resolved.select("url", "cluster_id")
+    t = (
+        dup_truth.join(r.withColumnRenamed("url", "url_a").withColumnRenamed("cluster_id", "ca"), "url_a")
+        .join(r.withColumnRenamed("url", "url_b").withColumnRenamed("cluster_id", "cb"), "url_b")
+    )
+    agg = t.select(
+        F.count("*").alias("n"), F.sum((F.col("ca") == F.col("cb")).cast("int")).alias("hit")
+    ).collect()[0]
+    return 1.0 if agg["n"] == 0 else agg["hit"] / agg["n"]

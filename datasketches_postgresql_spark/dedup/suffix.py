@@ -1,0 +1,156 @@
+"""Suffix-array-based exact-substring dedup (SURVEY.md §7.2 S5).
+
+Criterion (the standard one for training-data dedup, cf. "Deduplicating
+Training Data Makes Language Models Better": duplicated spans >= L): two
+documents are substring-duplicates iff they share a VERBATIM substring of at
+least ``min_match_chars`` characters. This catches containment pairs whose
+shingle-set Jaccard sits below the LSH threshold (|small|/|big|) and is
+robust to boilerplate wrapping (boilerplate stays well under L).
+
+Method (per group, numpy only):
+  1. concatenate the group's texts with '\\x00' sentinels;
+  2. suffix array via prefix doubling (np.unique ranks + np.lexsort,
+     O(N log^2 N), wholly vectorized);
+  3. LCP array (Kasai);
+  4. adjacent SA entries owned by different docs with
+     min(LCP, chars-to-own-doc-end of both suffixes) >= L emit an edge.
+     Clamping at doc ends makes sentinel-crossing matches impossible.
+     Suffixes sharing a >=L prefix form contiguous SA runs, so adjacent
+     pairs connect every doc in the run — transitively completed by the
+     connected-components stage downstream (exact, not a heuristic).
+
+Scale scoping (documented, honest): a single global suffix array over 100 TB
+is not a Spark-shaped computation; the pipeline applies this operator WITHIN
+GROUPS — same-host pages (where near-verbatim republication actually
+happens) via ``applyInPandas``, bounding each group to ``max_group_chars``.
+Cross-host substring overlap below the LSH threshold is out of scope of this
+layer by design.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+DEFAULT_MIN_MATCH_CHARS = 200
+DEFAULT_MAX_GROUP_CHARS = 4_000_000
+
+
+def suffix_array(codes: np.ndarray) -> np.ndarray:
+    """Prefix-doubling suffix array over an int array."""
+    n = codes.size
+    _, rank = np.unique(codes, return_inverse=True)
+    rank = rank.astype(np.int64)
+    k = 1
+    while True:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        new_rank = np.empty(n, dtype=np.int64)
+        pair = np.stack([rank[order], key2[order]], axis=1)
+        changed = np.any(pair[1:] != pair[:-1], axis=1)
+        new_rank[order] = np.concatenate([[0], np.cumsum(changed)])
+        rank = new_rank
+        if rank[order[-1]] == n - 1:
+            return order
+        k *= 2
+
+
+def lcp_array(codes: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """Kasai: lcp[i] = LCP(suffix sa[i], suffix sa[i+1])."""
+    n = codes.size
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    for i in range(n):
+        r = rank[i]
+        if r + 1 < n:
+            j = sa[r + 1]
+            max_h = n - max(i, j)
+            while h < max_h and codes[i + h] == codes[j + h]:
+                h += 1
+            lcp[r] = h
+            if h > 0:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def shared_substring_pairs_pandas(
+    doc_ids: np.ndarray, texts: list[str], min_match_chars: int = DEFAULT_MIN_MATCH_CHARS
+) -> list[tuple[int, int]]:
+    """[(doc_id_lo, doc_id_hi)] pairs sharing a verbatim substring >= L
+    within one group. Fully vectorized post-SA."""
+    n_docs = len(texts)
+    if n_docs < 2:
+        return []
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    joined = "\x00".join(texts)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+    n = codes.size
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=starts[1:])
+    ends = starts + lens  # exclusive end of each doc's text
+    owner = np.searchsorted(starts, np.arange(n), side="right") - 1
+    rem = ends[owner] - np.arange(n)  # chars to own doc end (<=0 on sentinels)
+
+    sa = suffix_array(codes)
+    lcp = lcp_array(codes, sa)
+
+    left, right = sa[:-1], sa[1:]
+    eff = np.minimum(lcp[:-1], np.minimum(rem[left], rem[right]))
+    mask = (eff >= min_match_chars) & (owner[left] != owner[right])
+    if not mask.any():
+        return []
+    a = doc_ids[owner[left[mask]]]
+    b = doc_ids[owner[right[mask]]]
+    pairs = np.unique(
+        np.stack([np.minimum(a, b), np.maximum(a, b)], axis=1), axis=0
+    )
+    return [tuple(p) for p in pairs.tolist()]
+
+
+CONTAIN_SCHEMA = StructType([StructField("a", LongType()), StructField("b", LongType())])
+
+
+def containment_edges(
+    extracted: DataFrame,
+    group_col,
+    min_match_chars: int = DEFAULT_MIN_MATCH_CHARS,
+    max_group_chars: int = DEFAULT_MAX_GROUP_CHARS,
+) -> DataFrame:
+    """Grouped suffix-array substring dedup: (doc_id, text) grouped by
+    ``group_col`` (an expression, e.g. the url host) -> edges (a, b).
+    Oversized groups keep their longest docs up to ``max_group_chars``
+    (containers are long; the cap is logged via lineage metrics, never
+    silently unbounded)."""
+    grouped = extracted.select(
+        F.col("doc_id"), F.col("text"), group_col.alias("__grp")
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        total = int(pdf["text"].str.len().sum())
+        if total > max_group_chars:
+            order = pdf["text"].str.len().sort_values(ascending=False).index
+            keep, acc = [], 0
+            for i in order:
+                ln = len(pdf.loc[i, "text"])
+                if acc + ln > max_group_chars:
+                    continue
+                acc += ln
+                keep.append(i)
+            pdf = pdf.loc[sorted(keep)]
+        pairs = shared_substring_pairs_pandas(
+            pdf["doc_id"].to_numpy(), pdf["text"].tolist(), min_match_chars
+        )
+        return pd.DataFrame(pairs, columns=["a", "b"]) if pairs else pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+        )
+
+    return grouped.groupBy("__grp").applyInPandas(run, schema=CONTAIN_SCHEMA).distinct()

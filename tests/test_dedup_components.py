@@ -1,0 +1,146 @@
+"""Unit tests for the dedup building blocks (numpy level + Spark level)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from datasketches_postgresql_spark.dedup.minhash import (
+    minhash_signatures,
+    simhash,
+)
+from datasketches_postgresql_spark.dedup.shingle import shingle_hash_batch
+from datasketches_postgresql_spark.dedup.suffix import (
+    lcp_array,
+    shared_substring_pairs_pandas,
+    suffix_array,
+)
+
+
+class TestShingle:
+    def test_batch_equals_per_doc(self):
+        texts = pd.Series(["hello world this is a document", "another doc entirely", "hi"])
+        batch = shingle_hash_batch(texts, n=5)
+        for i, t in enumerate(texts):
+            solo = shingle_hash_batch(pd.Series([t]), n=5)[0]
+            assert np.array_equal(batch[i], solo), f"doc {i} differs"
+
+    def test_identical_texts_identical_shingles(self):
+        t = "the quick brown fox jumps over the lazy dog" * 3
+        a, b = shingle_hash_batch(pd.Series([t, t]), n=9)
+        assert np.array_equal(a, b)
+
+    def test_short_doc_fallback(self):
+        (h,) = shingle_hash_batch(pd.Series(["hi"]), n=9)
+        assert h.size == 1
+        (h2,) = shingle_hash_batch(pd.Series(["hj"]), n=9)
+        assert h[0] != h2[0]
+
+    def test_jaccard_of_near_dup(self):
+        base = " ".join(f"word{i:03d}" for i in range(300))
+        words = base.split()
+        words[50] = "CHANGED"
+        words[150] = "OTHER"
+        near = " ".join(words)
+        a, b = shingle_hash_batch(pd.Series([base, near]), n=9)
+        j = np.intersect1d(a, b).size / np.union1d(a, b).size
+        assert j > 0.9
+
+
+class TestMinhash:
+    def _sig_jaccard(self, a, b):
+        return float(np.mean(a == b))
+
+    def test_exact_dup_signature_equal(self):
+        t = "some document text repeated enough to have many shingles " * 5
+        sh = shingle_hash_batch(pd.Series([t, t]))
+        sig = minhash_signatures(sh)
+        assert np.array_equal(sig[0], sig[1])
+
+    def test_signature_estimates_jaccard(self):
+        rng = np.random.default_rng(0)
+        base = rng.integers(0, 2**63, 2000, dtype=np.uint64)
+        other = base.copy()
+        other[:200] = rng.integers(0, 2**63, 200, dtype=np.uint64)  # J ~ 0.82
+        sig = minhash_signatures([base, other], num_perm=128)
+        true_j = np.intersect1d(base, other).size / np.union1d(base, other).size
+        assert abs(self._sig_jaccard(sig[0], sig[1]) - true_j) < 0.12
+
+    def test_chunking_invariance(self):
+        import datasketches_postgresql_spark.dedup.minhash as mh
+
+        rng = np.random.default_rng(1)
+        docs = [rng.integers(0, 2**63, rng.integers(5, 500), dtype=np.uint64) for _ in range(40)]
+        full = minhash_signatures(docs)
+        old = mh._CHUNK_ELEMS
+        try:
+            mh._CHUNK_ELEMS = 128 * 16  # force many tiny chunks
+            chunked = minhash_signatures(docs)
+        finally:
+            mh._CHUNK_ELEMS = old
+        assert np.array_equal(full, chunked)
+
+    def test_simhash_hamming(self):
+        rng = np.random.default_rng(2)
+        base = rng.integers(0, 2**63, 3000, dtype=np.uint64)
+        near = base.copy()
+        near[:60] = rng.integers(0, 2**63, 60, dtype=np.uint64)
+        far = rng.integers(0, 2**63, 3000, dtype=np.uint64)
+        s = simhash([base, near, far])
+        d_near = bin(int(s[0]) ^ int(s[1]) & (2**64 - 1)).count("1")
+        d_far = bin((int(s[0]) ^ int(s[2])) & (2**64 - 1)).count("1")
+        assert d_near <= 8
+        assert d_far > 16
+
+
+class TestSuffixArray:
+    def test_suffix_array_banana(self):
+        codes = np.frombuffer("banana".encode("utf-32-le"), dtype="<u4").astype(np.int64)
+        sa = suffix_array(codes)
+        # suffixes sorted: a(5) ana(3) anana(1) banana(0) na(4) nana(2)
+        assert sa.tolist() == [5, 3, 1, 0, 4, 2]
+        lcp = lcp_array(codes, sa)
+        assert lcp.tolist()[:5] == [1, 3, 0, 0, 2]
+
+    def test_containment_detection(self):
+        container = " ".join(f"tok{i:04d}" for i in range(200))
+        contained = " ".join(f"tok{i:04d}" for i in range(50, 150))
+        unrelated = " ".join(f"other{i:04d}" for i in range(100))
+        pairs = shared_substring_pairs_pandas(
+            np.array([10, 20, 30]), [container, contained, unrelated]
+        )
+        assert (10, 20) in pairs
+        assert all(30 not in p for p in pairs)
+
+    def test_boilerplate_wrapped_containment(self):
+        # contained text wrapped in (short) boilerplate still detected —
+        # the criterion is a shared >=L substring, not full-text containment
+        body = " ".join(f"tok{i:04d}" for i in range(200))
+        sub = " ".join(f"tok{i:04d}" for i in range(60, 140))
+        boiler_a, boiler_b = "site nav home", "copyright footer"
+        pairs = shared_substring_pairs_pandas(
+            np.array([1, 2]),
+            [f"{boiler_a} {body} {boiler_b}", f"{boiler_a} {sub} {boiler_b}"],
+        )
+        assert (1, 2) in pairs
+
+    def test_exact_dup_detected_as_mutual(self):
+        t = "identical document body " * 20
+        pairs = shared_substring_pairs_pandas(np.array([1, 2]), [t, t])
+        assert (1, 2) in pairs
+
+    def test_no_false_positive_across_sentinel(self):
+        # match length is clamped at doc ends: two 100-char docs can never
+        # produce a >=150 match even though the concatenation repeats
+        pairs = shared_substring_pairs_pandas(
+            np.array([1, 2]), ["x" * 100, "x" * 100], min_match_chars=150
+        )
+        assert pairs == []
+        pairs2 = shared_substring_pairs_pandas(
+            np.array([1, 2]), ["x" * 100, "x" * 100], min_match_chars=80
+        )
+        assert (1, 2) in pairs2
+
+    def test_short_boilerplate_not_paired(self):
+        a = "site nav home " + " ".join(f"aw{i}" for i in range(300))
+        b = "site nav home " + " ".join(f"bw{i}" for i in range(300))
+        assert shared_substring_pairs_pandas(np.array([1, 2]), [a, b]) == []

@@ -1,0 +1,105 @@
+"""End-to-end dedup pipeline: recall vs planted truth, precision guard,
+byte-identical extraction, exact resume (BASELINE.md target metrics)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_postgresql_spark.dedup.pipeline import (
+    DedupConfig,
+    DedupPipeline,
+    dup_pair_recall,
+)
+from datasketches_postgresql_spark.sources.corpus import generate_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return generate_corpus(spark, n_docs=600, seed=42, partitions=8)
+
+
+@pytest.fixture(scope="module")
+def run(spark, corpus, tmp_path_factory):
+    pages, truth = corpus
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    pipe = DedupPipeline(spark, ckpt, DedupConfig())
+    out = pipe.run(pages, resume=False)
+    return pages, truth, out, ckpt, pipe
+
+
+class TestPipeline:
+    def test_recall_by_kind(self, spark, run):
+        _, truth, out, _, _ = run
+        resolved = out["resolved"]
+        for kind in ["exact", "near", "substring"]:
+            t = truth.where(F.col("kind") == kind)
+            n = t.count()
+            assert n > 0, f"no planted {kind} dups"
+            rec = dup_pair_recall(resolved, t)
+            assert rec >= 0.99, f"{kind} recall {rec} < 0.99 over {n} pairs"
+
+    def test_overall_recall(self, run):
+        _, truth, out, _, _ = run
+        assert dup_pair_recall(out["resolved"], truth) >= 0.99
+
+    def test_precision_no_boilerplate_blobs(self, run):
+        """Negatives share per-host boilerplate only — cluster mass must stay
+        in the neighborhood of the planted duplicates."""
+        _, truth, out, _, _ = run
+        clustered = out["clusters"].count()
+        n_truth = truth.count()
+        # each truth pair contributes <= 2 docs; chains can merge, slack 1.5x
+        assert clustered <= 2 * n_truth * 1.5, (
+            f"{clustered} docs clustered vs {n_truth} planted pairs — precision collapse"
+        )
+
+    def test_representatives(self, run):
+        _, _, out, _, _ = run
+        resolved = out["resolved"]
+        per_cluster = resolved.groupBy("cluster_id").agg(
+            F.sum(F.col("is_representative").cast("int")).alias("reps"),
+            F.min("url").alias("min_url"),
+        )
+        assert per_cluster.where(F.col("reps") != 1).count() == 0
+        # representative is the minimum url of its cluster
+        rep_urls = resolved.where("is_representative").select("cluster_id", F.col("url"))
+        bad = rep_urls.join(per_cluster, "cluster_id").where(F.col("url") != F.col("min_url"))
+        assert bad.count() == 0
+
+    def test_extraction_byte_identical_and_deterministic(self, spark, run):
+        pages, _, out, _, _ = run
+        ext = out["extracted"].select("url", "text").orderBy("url")
+        h1 = hashlib.sha256(
+            "\x01".join(f"{r['url']}\x02{r['text']}" for r in ext.collect()).encode()
+        ).hexdigest()
+        # recompute from scratch at different parallelism
+        from datasketches_postgresql_spark.dedup.extract import extract_stage
+
+        ext2 = extract_stage(pages.repartition(3)).select("url", "text").orderBy("url")
+        h2 = hashlib.sha256(
+            "\x01".join(f"{r['url']}\x02{r['text']}" for r in ext2.collect()).encode()
+        ).hexdigest()
+        assert h1 == h2
+
+    def test_resume_exact(self, spark, run):
+        pages, _, out, ckpt, pipe = run
+        # resumed run must reproduce cluster assignments exactly
+        pipe2 = DedupPipeline(spark, ckpt, pipe.config)
+        out2 = pipe2.run(pages, resume=True)
+        a = {(r["doc_id"], r["cluster_id"]) for r in out["clusters"].collect()}
+        b = {(r["doc_id"], r["cluster_id"]) for r in out2["clusters"].collect()}
+        assert a == b
+
+    def test_lineage_metrics_present(self, run):
+        _, _, out, _, pipe = run
+        # re-read from the store: a resumed run may have rewritten the files
+        m = pipe.store.read("lineage_metrics")
+        stages = {r["stage"] for r in m.collect()}
+        assert {"extracted", "signatures", "candidates", "verified", "clusters"} <= stages
+        # per-partition rows exist (partition >= 0) alongside the global (-1)
+        assert m.where("partition >= 0").count() > 0
+        est = m.where(
+            "stage = 'signatures' and metric = 'distinct_shingles_est'"
+        ).collect()[0]["value"]
+        assert est > 1000

@@ -42,18 +42,41 @@ def candidate_edges(
     signatures: DataFrame,
     bands: int = DEFAULT_BANDS,
     rows: int = DEFAULT_ROWS,
+    mode: str = "star",
+    max_pair_bucket: int = 1000,
 ) -> DataFrame:
-    """-> (a, b) candidate edges, a < b by construction (a = bucket min)."""
+    """-> (a, b) candidate edges, a < b.
+
+    mode="star" (pipeline default): O(bucket) star edges to the bucket
+    minimum; the CC stage recovers full clusters. mode="pairs": all
+    within-bucket pairs for buckets <= max_pair_bucket (direct pair
+    semantics, for the standalone near-dup-pairs operator), with star edges
+    for oversized buckets so connectivity is never lost."""
     bh = band_hashes(signatures, bands, rows)
     mins = (
         bh.groupBy("band", "band_hash")
         .agg(F.min("doc_id").alias("a"), F.count("*").alias("cnt"))
         .where(F.col("cnt") > 1)
     )
-    edges = (
+    star = (
         bh.join(mins, ["band", "band_hash"])
         .where(F.col("doc_id") != F.col("a"))
         .select("a", F.col("doc_id").alias("b"))
         .distinct()
     )
-    return edges
+    if mode == "star":
+        return star
+    small = mins.where(F.col("cnt") <= max_pair_bucket).select("band", "band_hash")
+    in_small = bh.join(small, ["band", "band_hash"])
+    pairs = (
+        in_small.alias("l")
+        .join(in_small.alias("r"), ["band", "band_hash"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+    )
+    big_star = (
+        bh.join(mins.where(F.col("cnt") > max_pair_bucket), ["band", "band_hash"])
+        .where(F.col("doc_id") != F.col("a"))
+        .select("a", F.col("doc_id").alias("b"))
+    )
+    return pairs.union(big_star).distinct()

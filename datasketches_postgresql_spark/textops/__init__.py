@@ -1,0 +1,4 @@
+"""Training-data pipeline operators over document/embedding tables:
+deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine), ANN similarity search, and text analysis (language-ID,
+quality scoring, token counting, fingerprinting)."""

@@ -1,0 +1,112 @@
+"""Text analysis operators — all JVM-side built-in expressions (no Python in
+the hot path; every one of these runs inside whole-stage codegen and scales
+linearly with input splits).
+
+- token_count      whitespace tokenization
+- quality metrics  punctuation ratio / mean word length / stopword ratio
+- language-ID      marker-stopword argmax heuristic over {en,de,fr,es}
+- fingerprint      min-shingle rolling-hash document fingerprint (winnowing
+                   style; pandas UDF — the one Python kernel here)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# disjoint marker sets so the argmax is well-defined in SQL and Spark alike
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "les", "et"],
+    "es": ["el", "los", "y"],
+}
+_PUNCT_CLASS = "[.,!?;:]"
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (empty string -> 0)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(text))
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    clean = F.regexp_replace(text, _PUNCT_CLASS, "")
+    return (F.length(text) - F.length(clean)) / F.greatest(F.length(text), F.lit(1))
+
+
+def mean_word_len(text: Column) -> Column:
+    nosp = F.regexp_replace(text, r"\s+", "")
+    return F.length(nosp) / F.greatest(token_count(text), F.lit(1))
+
+
+def _marker_count(text: Column, words: list[str]) -> Column:
+    toks = tokens(F.lower(text))
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return _marker_count(text, LANG_MARKERS[lang]) / F.greatest(
+        token_count(text), F.lit(1)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, word-like lengths,
+    not punctuation-soaked. Deterministic closed form (also SQL-expressible
+    for the oracle)."""
+    length_ok = F.least(token_count(text) / F.lit(100.0), F.lit(1.0))
+    word_ok = F.when(
+        (mean_word_len(text) >= 3) & (mean_word_len(text) <= 12), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    return F.round((length_ok + word_ok + punct_ok) / 3.0, 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-stopword argmax; ties resolve in en > de > fr > es order
+    (strictly-greater comparisons in declaration order)."""
+    scores = {lang: _marker_count(text, words) for lang, words in LANG_MARKERS.items()}
+    expr = F.lit("en")
+    best = scores["en"]
+    for lang in ["de", "fr", "es"]:
+        cond = scores[lang] > best
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+        best = F.when(cond, scores[lang]).otherwise(best)
+    return expr
+
+
+@F.pandas_udf(LongType())
+def doc_fingerprint(text: pd.Series) -> pd.Series:
+    """Winnowing-style document fingerprint: min of the 9-gram rolling
+    hashes (same shingle kernel as the dedup pipeline). Deterministic across
+    runs/parallelism; not SQL-expressible (rows-only correctness check)."""
+    from ..dedup.shingle import shingle_hash_batch
+
+    sh = shingle_hash_batch(text.fillna(""), n=9)
+    return pd.Series(
+        [int(np.min(s).view(np.int64)) if s.size else 0 for s in sh], dtype="int64"
+    )
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-stop text-analysis projection."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("token_count"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(mean_word_len(t), 6).alias("mean_word_len"),
+        quality_score(t).alias("quality_score"),
+        lang_id(t).alias("lang_pred"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )

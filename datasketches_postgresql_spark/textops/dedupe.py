@@ -1,0 +1,167 @@
+"""Document-table deduplication operators (training-data pipeline surface):
+
+- exact_dup_groups     hash-groupBy exact dedup (partial-agg friendly)
+- ngram_jaccard_pairs  word n-gram Jaccard between doc pairs, 100% native
+                       array expressions (array_intersect/array_union)
+- minhash_lsh_pairs    the dedup pipeline's MinHash+LSH+verify stack applied
+                       to a (id, text) table
+- simhash_pairs        SimHash-equality / low-Hamming pairing
+- embedding_neardup    cosine >= threshold pairs over an embedding column
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..dedup.lsh import candidate_edges
+from ..dedup.minhash import signature_stage
+from ..dedup.verify import verify_edges
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicates by full-text equality: one row per duplicated text,
+    (rep_id = min id, n_dups). groupBy(text) partial-aggregates map-side;
+    at scale, group by xxhash64(text) first to avoid shuffling full texts
+    (use ``by_hash=True``)."""
+    return (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_dups"))
+        .where(F.col("n_dups") > 1)
+        .select("rep_id", "n_dups")
+    )
+
+
+def exact_dup_groups_by_hash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Scale path: shuffle 8-byte hashes, not documents."""
+    return (
+        df.select(F.col(id_col).alias("rep_id"), F.xxhash64(text_col).alias("__th"))
+        .groupBy("__th")
+        .agg(F.min("rep_id").alias("rep_id"), F.count("*").alias("n_dups"))
+        .where(F.col("n_dups") > 1)
+        .select("rep_id", "n_dups")
+    )
+
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Array of word n-grams (native: split + transform over an index
+    sequence; no UDF)."""
+    toks = F.split(F.trim(text), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
+    return F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(idx, gram)
+    )
+
+
+def ngram_jaccard(a: Column, b: Column) -> Column:
+    """Jaccard over two n-gram arrays — array_intersect/array_union are
+    set-semantic natives."""
+    i = F.size(F.array_intersect(a, b))
+    u = F.size(F.array_union(a, b))
+    return i / F.greatest(u, F.lit(1))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, pair_filter=None
+) -> DataFrame:
+    """All-pairs word-n-gram Jaccard over (optionally filtered) doc ids:
+    (a, b, jaccard). Pure native expressions end to end."""
+    grams = df.select(
+        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("g")
+    )
+    if pair_filter is not None:
+        grams = grams.where(pair_filter(F.col("id")))
+    left = grams.select(F.col("id").alias("a"), F.col("g").alias("ga"))
+    right = grams.select(F.col("id").alias("b"), F.col("g").alias("gb"))
+    return (
+        left.join(right, F.col("a") < F.col("b"))
+        .select("a", "b", F.round(ngram_jaccard(F.col("ga"), F.col("gb")), 6).alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.8,
+    max_hamming: int = 16,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs over any (id, text) table — the dedup
+    pipeline's candidate+verify stack as a standalone operator.
+    -> (a, b) with a < b."""
+    pseudo = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).cast("string").alias("url"),
+        F.col(text_col).alias("text"),
+    )
+    sigs = signature_stage(pseudo)
+    cand = candidate_edges(sigs, mode="pairs")
+    return (
+        verify_edges(cand, sigs, jaccard_threshold, max_hamming)
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Pairs whose 64-bit SimHash differs by <= max_hamming bits. Exact
+    equality (max_hamming=0) joins directly on the fingerprint — a shuffle
+    of 8-byte keys; >0 compares within simhash-prefix buckets."""
+    pseudo = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).cast("string").alias("url"),
+        F.col(text_col).alias("text"),
+    )
+    sigs = signature_stage(pseudo).select("doc_id", "simhash")
+    if max_hamming == 0:
+        left = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("s"))
+        right = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("s"))
+        return left.join(right, "s").where(F.col("a") < F.col("b")).select("a", "b")
+    # bucket by 16-bit prefixes (4 bands): <=3 flipped bits leave at least
+    # one 16-bit band untouched (pigeonhole), so recall is exact for
+    # max_hamming <= 3
+    bands = F.array(*[F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
+    bh = sigs.select("doc_id", "simhash", F.posexplode(bands).alias("band", "key"))
+    left = bh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"), "band", "key")
+    right = bh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"), "band", "key")
+    return (
+        left.join(right, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .where(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= max_hamming)
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns — native
+    zip_with/aggregate (sequential sum, deterministic order)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    pair_filter=None,
+) -> DataFrame:
+    """(a, b, cos) pairs with cosine >= threshold. Brute-force quadratic —
+    intended for within-bucket use or sampled audits; the scale path is
+    ann.lsh_bucketed_neighbors."""
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    if pair_filter is not None:
+        v = v.where(pair_filter(F.col("id")))
+    left = v.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    right = v.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    return (
+        left.join(right, F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,182 @@
+"""Training-data operator tests over the driver-provided documents and
+embeddings tables (+ synthetic cases)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from datasketches_postgresql_spark.textops import analysis as TA
+from datasketches_postgresql_spark.textops import ann as ANN
+from datasketches_postgresql_spark.textops import dedupe as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+class TestAnalysis:
+    def test_token_count_matches_python(self, spark, docs):
+        rows = (
+            docs.limit(20)
+            .select("doc_id", "text", TA.token_count(F.col("text")).alias("tc"))
+            .collect()
+        )
+        for r in rows:
+            assert r["tc"] == len(r["text"].strip().split())
+
+    def test_quality_and_langid(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat and the dog of the house sat on the mat and slept"),
+                (2, "der hund und die katze und der vogel und die maus"),
+                (3, "le chat et le chien et les oiseaux et les souris"),
+                (4, "el gato y los perros y el raton y los pajaros"),
+                (5, "!!! ... ;;; ::: ??? ,,,"),
+            ],
+            "id long, text string",
+        )
+        out = {r["id"]: r for r in TA.analyze(df).collect()}
+        assert out[1]["lang_pred"] == "en"
+        assert out[2]["lang_pred"] == "de"
+        assert out[3]["lang_pred"] == "fr"
+        assert out[4]["lang_pred"] == "es"
+        assert out[5]["quality_score"] < out[1]["quality_score"]
+        assert out[1]["punct_ratio"] == 0.0
+
+    def test_fingerprint_deterministic(self, spark, docs):
+        a = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", TA.doc_fingerprint(F.col("text")).alias("fp")).collect()}
+        b = {r["doc_id"]: r["fp"] for r in docs.repartition(7).select("doc_id", TA.doc_fingerprint(F.col("text")).alias("fp")).collect()}
+        assert a == b
+
+
+class TestDedupe:
+    def test_exact_dup_groups(self, spark, docs):
+        dup = docs.select(F.col("doc_id") + 1_000_000, "text").toDF("doc_id", "text")
+        both = docs.select("doc_id", "text").union(dup)
+        groups = D.exact_dup_groups(both, "doc_id", "text")
+        n_docs = docs.count()
+        assert groups.count() == n_docs
+        assert groups.agg(F.max("n_dups")).collect()[0][0] == 2
+        by_hash = D.exact_dup_groups_by_hash(both, "doc_id", "text")
+        assert by_hash.count() == n_docs
+
+    def test_ngram_jaccard_identical_and_disjoint(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+            "id long, text string",
+        )
+        pairs = {(r["a"], r["b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(df, "id", "text").collect()}
+        assert pairs[(1, 2)] == 1.0
+        assert pairs[(1, 3)] == 0.0
+
+    def test_minhash_lsh_finds_planted_copies(self, spark, docs):
+        base = docs.select("doc_id", "text").where("n_chars > 100")
+        dup = base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        both = base.union(dup)
+        pairs = D.minhash_lsh_pairs(both, "doc_id", "text", jaccard_threshold=0.95)
+        found = {(r["a"], r["b"]) for r in pairs.collect()}
+        expected = {(r["doc_id"], r["doc_id"] + 1_000_000) for r in base.collect()}
+        assert expected <= found  # recall 1.0 on exact copies
+        # extras must themselves be >= threshold by construction (the tiny
+        # synthetic vocab makes some unrelated docs genuinely near-dup);
+        # exact copies of DIFFERENT base docs must not pair below threshold
+        for a, b in found - expected:
+            assert not (a < 1_000_000 and b < 1_000_000 and a == b)
+
+    def test_simhash_pairs_exact(self, spark, docs):
+        base = docs.select("doc_id", "text").where("n_chars > 100").limit(50)
+        dup = base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        pairs = D.simhash_pairs(base.union(dup), "doc_id", "text", max_hamming=3)
+        found = {(r["a"], r["b"]) for r in pairs.collect()}
+        expected = {(r["doc_id"], r["doc_id"] + 1_000_000) for r in base.collect()}
+        assert expected <= found
+
+    def test_embedding_neardup_self_pairs(self, spark, embs):
+        shifted = embs.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+        both = embs.select("vec_id", "embedding").union(shifted).where("vec_id % 25 = 0 or vec_id % 25 = 10000 % 25")
+        pairs = D.embedding_neardup_pairs(both, "vec_id", "embedding", threshold=0.999999)
+        found = {(r["a"], r["b"]) for r in pairs.collect()}
+        base_ids = {r["vec_id"] for r in embs.where("vec_id % 25 = 0").collect()}
+        for i in base_ids:
+            assert (i, i + 10_000) in found
+
+
+class TestAnn:
+    def test_topk_vs_duckdb_style_check(self, spark, embs):
+        qs = embs.where("vec_id < 3")
+        topk = ANN.cosine_topk(embs, qs, "vec_id", "embedding", k=5)
+        rows = topk.collect()
+        assert len(rows) == 15
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["qid"], []).append((r["rank"], r["cos"]))
+        for q, lst in by_q.items():
+            lst.sort()
+            cos = [c for _, c in lst]
+            assert cos == sorted(cos, reverse=True)
+
+    def test_lsh_recall_vs_bruteforce(self, spark, embs):
+        qs = embs.where("vec_id < 10")
+        exact = ANN.cosine_topk(embs, qs, "vec_id", "embedding", k=5)
+        approx = ANN.lsh_bucketed_neighbors(embs, qs, "vec_id", "embedding", dim=64, k=5, n_planes=6, n_tables=8, n_probes=1)
+        e = {(r["qid"], r["id"]) for r in exact.collect()}
+        a = {(r["qid"], r["id"]) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        # random embeddings are the worst case for sign-LSH (top-5
+        # cosines sit at ~0.3); on real near-dup embeddings (cos>=0.9)
+        # the same config is ~exact
+        assert recall >= 0.7, f"ANN recall {recall} too low"
+
+
+class TestMultimodal:
+    def test_decode_stub_plumbing(self, spark):
+        from datasketches_postgresql_spark.multimodal.binary import decode_media, frame_sample
+
+        df = spark.createDataFrame(
+            [(1, b"\x89PNG fake image bytes" * 100), (2, b"RIFF fake audio" * 50)],
+            "id long, payload binary",
+        )
+        meta = decode_media(df, "id", "payload").collect()
+        assert len(meta) == 2
+        for r in meta:
+            assert r["n_bytes"] > 0 and len(r["features"]) == 16
+            assert abs(sum(r["features"]) - 1.0) < 1e-5
+        frames = frame_sample(df, "id", "payload", every_n_bytes=256)
+        assert frames.count() > 2
+
+    def test_real_decoder_raises(self, spark):
+        from datasketches_postgresql_spark.multimodal.binary import decode_media
+
+        df = spark.createDataFrame([(1, b"x")], "id long, payload binary")
+        with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+            decode_media(df, "id", "payload", real_decoder=True).collect()
+
+
+class TestStreaming:
+    def test_watermarked_dedup(self, spark, tmp_path):
+        import time
+
+        from datasketches_postgresql_spark.streaming.stream import streaming_exact_dedup
+
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(1, "u1", "2025-01-01 00:00:00"), (2, "u1", "2025-01-01 00:00:01"), (3, "u2", "2025-01-01 00:00:02")],
+            "id long, url string, ts string",
+        ).withColumn("ts", F.to_timestamp("ts")).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("id long, url string, ts timestamp").parquet(src)
+        deduped = streaming_exact_dedup(stream, ["url"], "ts")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = spark.sql("select url from dedup_test").collect()
+        assert sorted(r["url"] for r in got) == ["u1", "u2"]

@@ -1,0 +1,149 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+  1. headline sketch/dedup/ANN queries (per-query wall seconds);
+  2. the dedup pipeline end-to-end on a deterministic synthetic webtext
+     corpus -> docs/sec throughput;
+  3. the SAME dedup job at local[8] vs local[$SPARK_GRAFT_CPUS] on identical
+     input -> scaling efficiency (BASELINE.json north_rule: two-cluster-size
+     criterion evidenced via two parallelism levels; >= 0.8 target).
+
+JSON keys: metric/value/unit/queries/sf (driver contract) plus
+dedup_docs_per_sec, scaling {t8_sec, t32_sec, throughput_8, throughput_32,
+efficiency}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
+SCALING_LOW = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "8"))
+DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data")
+
+HEADLINE = [
+    "theta_distinct_users_by_type",
+    "theta_union_reaggregate",
+    "hll_distinct_langs_by_source",
+    "kll_rank",
+    "kll_merge_median",
+    "fi_heavy_event_types",
+    "aod_means",
+    "dedup_exact_by_hash",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk",
+    "text_quality",
+    "webdedup_clusters",
+]
+
+
+def _sf_label(path: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else 0.0
+
+
+def run_headline_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        out[name] = round(time.time() - t0, 3)
+        _ = n
+    return out
+
+
+def run_dedup_job(spark, pages, ckpt_dir: str) -> float:
+    """Full pipeline wall seconds (fresh checkpoints each run)."""
+    from datasketches_postgresql_spark.dedup.pipeline import DedupConfig, DedupPipeline
+
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    pipe = DedupPipeline(spark, ckpt_dir, DedupConfig())
+    t0 = time.time()
+    out = pipe.run(pages, resume=False)
+    out["resolved"].count()
+    return time.time() - t0
+
+
+def fresh_spark(cpus: int, shuffle: int):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    # pyspark caches the JVM gateway; a new builder with a new master works
+    # in local mode once the previous context is stopped
+    from datasketches_postgresql_spark.session import get_spark
+
+    return get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=shuffle)
+
+
+def main() -> None:
+    os.makedirs(DATA_DIR, exist_ok=True)
+    t_total = time.time()
+
+    from datasketches_postgresql_spark.sources.corpus import generate_corpus_pandas
+
+    pages_pd, _ = generate_corpus_pandas(BENCH_DOCS, seed=42)
+    n_docs = len(pages_pd)
+
+    # --- phase 1+2 at full parallelism -------------------------------------
+    spark = fresh_spark(CPUS, max(CPUS, 32))
+    queries = run_headline_queries(spark)
+
+    pages = spark.createDataFrame(pages_pd).repartition(CPUS * 2, "url")
+    pages.write.mode("overwrite").parquet(os.path.join(DATA_DIR, "bench_corpus"))
+    pages = spark.read.parquet(os.path.join(DATA_DIR, "bench_corpus"))
+
+    t_hi = run_dedup_job(spark, pages, os.path.join(DATA_DIR, "bench_ckpt_hi"))
+
+    # --- phase 3: scaling evidence (same input, low parallelism) ------------
+    spark = fresh_spark(SCALING_LOW, max(SCALING_LOW * 2, 16))
+    pages_lo = spark.read.parquet(os.path.join(DATA_DIR, "bench_corpus"))
+    t_lo = run_dedup_job(spark, pages_lo, os.path.join(DATA_DIR, "bench_ckpt_lo"))
+    spark.stop()
+
+    thr_hi = n_docs / t_hi
+    thr_lo = n_docs / t_lo
+    efficiency = (thr_hi / thr_lo) / (CPUS / SCALING_LOW)
+
+    result = {
+        "metric": "dedup_pipeline_wall_seconds",
+        "value": round(t_hi, 3),
+        "unit": "sec",
+        "sf": _sf_label(SF_DIR),
+        "queries": queries,
+        "dedup": {
+            "n_docs": n_docs,
+            "docs_per_sec": round(thr_hi, 1),
+        },
+        "scaling": {
+            "low_cores": SCALING_LOW,
+            "high_cores": CPUS,
+            "t_low_sec": round(t_lo, 3),
+            "t_high_sec": round(t_hi, 3),
+            "throughput_low": round(thr_lo, 1),
+            "throughput_high": round(thr_hi, 1),
+            "efficiency": round(efficiency, 3),
+        },
+        "total_bench_sec": round(time.time() - t_total, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,12 +29,14 @@ DEFAULT_ROWS = 4
 
 
 def band_hashes(signatures: DataFrame, bands: int = DEFAULT_BANDS, rows: int = DEFAULT_ROWS) -> DataFrame:
-    """(doc_id, minhash) -> (doc_id, band, band_hash). JVM-side only."""
+    """(doc_id, minhash) -> (doc_id, sig_hash, band, band_hash). JVM-side only."""
     band_arr = F.array(
         *[F.xxhash64(F.slice("minhash", i * rows + 1, rows)) for i in range(bands)]
     )
     return signatures.select(
-        "doc_id", F.posexplode(band_arr).alias("band", "band_hash")
+        "doc_id",
+        F.xxhash64("minhash").alias("sig_hash"),
+        F.posexplode(band_arr).alias("band", "band_hash"),
     )
 
 
@@ -42,41 +44,55 @@ def candidate_edges(
     signatures: DataFrame,
     bands: int = DEFAULT_BANDS,
     rows: int = DEFAULT_ROWS,
-    mode: str = "star",
-    max_pair_bucket: int = 1000,
+    mode: str = "hybrid",
+    max_pair_bucket: int = 32,
 ) -> DataFrame:
     """-> (a, b) candidate edges, a < b.
 
-    mode="star" (pipeline default): O(bucket) star edges to the bucket
-    minimum; the CC stage recovers full clusters. mode="pairs": all
-    within-bucket pairs for buckets <= max_pair_bucket (direct pair
-    semantics, for the standalone near-dup-pairs operator), with star edges
-    for oversized buckets so connectivity is never lost."""
+    Buckets <= max_pair_bucket emit ALL within-bucket pairs (each pair gets
+    its own downstream verification — a hub doc failing verification can
+    never disconnect a true pair). Larger buckets stay O(bucket):
+      - members sub-group by full-signature hash; signature-identical docs
+        star to their sub-minimum (such edges verify trivially: identical
+        signatures => jaccard_est 1.0), so exact-dup mega-clusters cost
+        O(cluster) edges and never lose connectivity;
+      - sub-minima star to the bucket minimum (near-dup links across
+        sub-groups; verification decides).
+    This bounds edges at O(min(bucket, cap)^2 + bucket) per bucket — the
+    100 TB guarantee — while making pair loss impossible for
+    signature-identical dups and cap^2-bounded otherwise.
+
+    mode="pairs" with a large max_pair_bucket gives direct pair semantics
+    for the standalone near-dup-pairs operator."""
+    if mode == "pairs":
+        max_pair_bucket = max(max_pair_bucket, 1000)
     bh = band_hashes(signatures, bands, rows)
-    mins = (
+    buckets = (
         bh.groupBy("band", "band_hash")
-        .agg(F.min("doc_id").alias("a"), F.count("*").alias("cnt"))
+        .agg(F.min("doc_id").alias("root"), F.count("*").alias("cnt"))
         .where(F.col("cnt") > 1)
     )
-    star = (
-        bh.join(mins, ["band", "band_hash"])
-        .where(F.col("doc_id") != F.col("a"))
-        .select("a", F.col("doc_id").alias("b"))
-        .distinct()
-    )
-    if mode == "star":
-        return star
-    small = mins.where(F.col("cnt") <= max_pair_bucket).select("band", "band_hash")
-    in_small = bh.join(small, ["band", "band_hash"])
+    bhj = bh.join(buckets, ["band", "band_hash"])
+
+    small = bhj.where(F.col("cnt") <= max_pair_bucket).select("band", "band_hash", "doc_id")
     pairs = (
-        in_small.alias("l")
-        .join(in_small.alias("r"), ["band", "band_hash"])
+        small.alias("l")
+        .join(small.alias("r"), ["band", "band_hash"])
         .where(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
     )
-    big_star = (
-        bh.join(mins.where(F.col("cnt") > max_pair_bucket), ["band", "band_hash"])
-        .where(F.col("doc_id") != F.col("a"))
-        .select("a", F.col("doc_id").alias("b"))
+
+    big = bhj.where(F.col("cnt") > max_pair_bucket)
+    sub = big.groupBy("band", "band_hash", "sig_hash").agg(
+        F.min("doc_id").alias("sm"), F.min("root").alias("root")
     )
-    return pairs.union(big_star).distinct()
+    within_sub = (
+        big.join(sub.select("band", "band_hash", "sig_hash", "sm"), ["band", "band_hash", "sig_hash"])
+        .where(F.col("doc_id") != F.col("sm"))
+        .select(F.col("sm").alias("a"), F.col("doc_id").alias("b"))
+    )
+    across_sub = (
+        sub.where(F.col("sm") != F.col("root"))
+        .select(F.col("root").alias("a"), F.col("sm").alias("b"))
+    )
+    return pairs.union(within_sub).union(across_sub).distinct()

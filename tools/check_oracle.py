@@ -1,0 +1,104 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark AND its oracle_sql() on DuckDB at sf0.01, compare row count, column
+names, and order-insensitive values. Usage: python tools/check_oracle.py [names...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if hasattr(v, "item"):
+        return norm(v.item())
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def rows_to_set(cols, rows):
+    cols = list(cols)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(cols), sorted(
+        tuple(norm(r[i]) for i in order) for r in rows
+    )
+
+
+def main():
+    import __spark_entry__ as entrymod
+    from datasketches_postgresql_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures, passed, rows_only = [], 0, 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL  {name}: spark error {str(e)[:200]}")
+            continue
+        if name not in oracles:
+            rows_only += 1
+            print(f"rows-only  {name}: {len(srows)} rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL  {name}: duckdb error {str(e)[:200]}")
+            continue
+        sc, sv = rows_to_set(scols, [[r[c] for c in scols] for r in srows])
+        dc, dv = rows_to_set(dcols, drows)
+        if sc != dc:
+            failures.append((name, f"cols {sc} vs {dc}"))
+            print(f"FAIL  {name}: columns {sc} vs {dc}")
+        elif len(sv) != len(dv):
+            failures.append((name, f"rows {len(sv)} vs {len(dv)}"))
+            print(f"FAIL  {name}: rowcount {len(sv)} vs {len(dv)}")
+            print("   spark-only:", [r for r in sv if r not in set(dv)][:3])
+            print("   duck-only :", [r for r in dv if r not in set(sv)][:3])
+        elif sv != dv:
+            diff_s = [r for r in sv if r not in set(dv)][:3]
+            diff_d = [r for r in dv if r not in set(sv)][:3]
+            failures.append((name, f"values differ: {diff_s} vs {diff_d}"))
+            print(f"FAIL  {name}: values differ\n   spark: {diff_s}\n   duck : {diff_d}")
+        else:
+            passed += 1
+            print(f"ok    {name}: {len(sv)} rows")
+    print(f"\n{passed} matched, {rows_only} rows-only, {len(failures)} failed")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,161 @@
+"""SQL-surface parity: register the reference's function names for use in
+``spark.sql`` queries (the reference's DDL registers them in PostgreSQL;
+/root/reference/sql/datasketches_*.sql).
+
+Aggregates register as grouped-agg pandas UDFs. Two deliberate deltas from
+the reference's SQL, both documented:
+
+1. Build aggregates take an ALREADY-HASHED bigint (wrap the column in the
+   built-in ``xxhash64(col)``) — the same canonicalization the DataFrame API
+   applies implicitly (the reference's C code canonicalizes anyelement to
+   bytes before hashing, src/theta_sketch_pg_functions.c:103-115). This
+   keeps the Python boundary numeric/Arrow-fast.
+2. Grouped-agg pandas UDFs have no partial-aggregation step (Spark ships
+   group values to one task), so this layer is the CONVENIENCE surface; the
+   scale path is the two-phase DataFrame API in ``..operators.agg``.
+
+HLL needs no registration: Spark's native hll_sketch_agg / hll_union_agg /
+hll_sketch_estimate / hll_union are already SQL functions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+)
+
+from ..sketches import aod as _aod
+from ..sketches import fi as _fi
+from ..sketches import kll as _kll
+from ..sketches import theta as _theta
+from . import fi as fi_fns
+from . import kll as kll_fns
+from . import theta as theta_fns
+
+
+def _hashes(s: pd.Series) -> np.ndarray:
+    return s.dropna().to_numpy(dtype=np.int64).astype(np.uint64)
+
+
+def register_all(spark: SparkSession) -> None:
+    """Register every SQL-callable function. Idempotent."""
+
+    # -- theta aggregates ---------------------------------------------------
+    @F.pandas_udf(BinaryType())
+    def theta_sketch_build(h: pd.Series) -> bytes:  # type: ignore[misc]
+        return _theta.build(_hashes(h))
+
+    @F.pandas_udf(DoubleType())
+    def theta_sketch_distinct(h: pd.Series) -> float:  # type: ignore[misc]
+        return _theta.get_estimate(_theta.build(_hashes(h)))
+
+    @F.pandas_udf(BinaryType())
+    def theta_sketch_union_agg(s: pd.Series) -> bytes:  # type: ignore[misc]
+        return _theta.union([bytes(b) for b in s if b is not None])
+
+    @F.pandas_udf(BinaryType())
+    def theta_sketch_intersection_agg(s: pd.Series) -> bytes:  # type: ignore[misc]
+        return _theta.intersection([bytes(b) for b in s if b is not None])
+
+    spark.udf.register("theta_sketch_build", theta_sketch_build)
+    spark.udf.register("theta_sketch_distinct", theta_sketch_distinct)
+    spark.udf.register("theta_sketch_union_agg", theta_sketch_union_agg)
+    spark.udf.register("theta_sketch_intersection_agg", theta_sketch_intersection_agg)
+
+    # -- theta scalars (reuse the module-level pandas UDFs) -------------------
+    spark.udf.register("theta_sketch_get_estimate", theta_fns.theta_sketch_get_estimate)
+    spark.udf.register("theta_sketch_get_estimate_and_bounds", theta_fns._bounds_udf)
+    spark.udf.register("theta_sketch_union", theta_fns._union_pair_udf)
+    spark.udf.register("theta_sketch_intersection", theta_fns._intersect_pair_udf)
+    spark.udf.register("theta_sketch_a_not_b", theta_fns._a_not_b_udf)
+    spark.udf.register("theta_sketch_to_string", theta_fns.theta_sketch_to_string)
+
+    # -- kll ------------------------------------------------------------------
+    @F.pandas_udf(BinaryType())
+    def kll_float_sketch_build(v: pd.Series, k: pd.Series) -> bytes:  # type: ignore[misc]
+        return _kll.build(v.to_numpy(dtype=np.float64), int(k.iloc[0]))
+
+    @F.pandas_udf(BinaryType())
+    def kll_float_sketch_merge(s: pd.Series) -> bytes:  # type: ignore[misc]
+        return _kll.merge([bytes(b) for b in s if b is not None])
+
+    spark.udf.register("kll_float_sketch_build", kll_float_sketch_build)
+    spark.udf.register("kll_double_sketch_build", kll_float_sketch_build)
+    spark.udf.register("kll_float_sketch_merge", kll_float_sketch_merge)
+    spark.udf.register("kll_double_sketch_merge", kll_float_sketch_merge)
+    spark.udf.register("kll_float_sketch_get_quantile", kll_fns._quantile_udf)
+    spark.udf.register("kll_float_sketch_get_quantiles", kll_fns._quantiles_udf)
+    spark.udf.register("kll_float_sketch_get_rank", kll_fns._rank_udf)
+    spark.udf.register("kll_float_sketch_get_pmf", kll_fns._pmf_udf)
+    spark.udf.register("kll_float_sketch_get_cdf", kll_fns._cdf_udf)
+    spark.udf.register("kll_float_sketch_get_histogram", kll_fns._histogram_udf)
+    spark.udf.register("kll_float_sketch_get_n", kll_fns._n_udf)
+    spark.udf.register("kll_float_sketch_get_min_item", kll_fns._min_udf)
+    spark.udf.register("kll_float_sketch_get_max_item", kll_fns._max_udf)
+    spark.udf.register("kll_float_sketch_to_string", kll_fns.kll_sketch_to_string)
+
+    # -- frequent strings ------------------------------------------------------
+    @F.pandas_udf(BinaryType())
+    def frequent_strings_sketch_build(lg_k: pd.Series, s: pd.Series) -> bytes:  # type: ignore[misc]
+        sub = s.dropna()
+        return _fi.build(int(lg_k.iloc[0]), sub.to_numpy(dtype=object))
+
+    @F.pandas_udf(BinaryType())
+    def frequent_strings_sketch_merge(lg_k: pd.Series, s: pd.Series) -> bytes:  # type: ignore[misc]
+        return _fi.merge(int(lg_k.iloc[0]), [bytes(b) for b in s if b is not None])
+
+    spark.udf.register("frequent_strings_sketch_build", frequent_strings_sketch_build)
+    spark.udf.register("frequent_strings_sketch_merge", frequent_strings_sketch_merge)
+    spark.udf.register(
+        "frequent_strings_sketch_result_no_false_positives", fi_fns._nfp_udf
+    )
+    spark.udf.register(
+        "frequent_strings_sketch_result_no_false_negatives", fi_fns._nfn_udf
+    )
+    spark.udf.register("frequent_strings_sketch_to_string", fi_fns._to_string_udf)
+
+    # -- aod --------------------------------------------------------------------
+    @F.pandas_udf(BinaryType())
+    def aod_sketch_build(h: pd.Series, vals: pd.Series) -> bytes:  # type: ignore[misc]
+        mask = h.notna() & vals.notna()
+        keys = h[mask].to_numpy(dtype=np.int64).astype(np.uint64)
+        vl = vals[mask].to_numpy(dtype=object)
+        m = (
+            np.stack([np.asarray(x, dtype=np.float64) for x in vl])
+            if len(vl)
+            else np.empty((0, 1))
+        )
+        return _aod.build(keys, m)
+
+    @F.pandas_udf(BinaryType())
+    def aod_sketch_union_agg(s: pd.Series) -> bytes:  # type: ignore[misc]
+        return _aod.union([bytes(b) for b in s if b is not None])
+
+    spark.udf.register("aod_sketch_build", aod_sketch_build)
+    spark.udf.register("aod_sketch_union_agg", aod_sketch_union_agg)
+
+    from . import aod as aod_fns
+
+    spark.udf.register("aod_sketch_get_estimate", aod_fns.aod_sketch_get_estimate)
+    spark.udf.register("aod_sketch_to_means", aod_fns.aod_sketch_to_means)
+    spark.udf.register("aod_sketch_to_variances", aod_fns.aod_sketch_to_variances)
+    spark.udf.register("aod_sketch_union", aod_fns._union_pair)
+    spark.udf.register("aod_sketch_intersection", aod_fns._inter_pair)
+    spark.udf.register("aod_sketch_a_not_b", aod_fns._anb_pair)
+    spark.udf.register("aod_sketch_students_t_test", aod_fns._ttest_udf)
+    spark.udf.register("aod_sketch_to_string", aod_fns._to_string_udf)
+
+    # -- cpc alias ----------------------------------------------------------------
+    spark.udf.register("cpc_sketch_build", theta_sketch_build)
+    spark.udf.register("cpc_sketch_distinct", theta_sketch_distinct)
+    spark.udf.register("cpc_sketch_union_agg", theta_sketch_union_agg)
+    spark.udf.register("cpc_sketch_get_estimate", theta_fns.theta_sketch_get_estimate)
+    spark.udf.register("cpc_sketch_to_string", theta_fns.theta_sketch_to_string)

@@ -1,0 +1,82 @@
+"""Plan-quality tests: the physical plans must show the scale posture the
+engine claims (pushdown, pruning, broadcast, codegen, bounded shuffles)."""
+
+import pyspark.sql.functions as F
+
+from datasketches_postgresql_spark.functions import theta as TH
+from datasketches_postgresql_spark.plans.explain import (
+    assert_column_pruned,
+    assert_filter_pushed,
+    count_exchanges,
+    formatted_plan,
+    has_broadcast_join,
+    has_whole_stage_codegen,
+)
+from datasketches_postgresql_spark.textops import analysis as TA
+
+
+class TestPlanQuality:
+    def test_filter_and_pruning_reach_scan(self, spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        q = li.where(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+        assert_filter_pushed(q, "l_quantity")
+        assert_column_pruned(q, "l_comment")
+
+    def test_sketch_agg_prunes_input_columns(self, spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        q = TH.theta_sketch_distinct(ev, ["event_type"], "user_id")
+        # the parquet scan must read only event_type + user_id, not props/value
+        assert_column_pruned(q, "props")
+        assert_column_pruned(q, "value")
+
+    def test_sketch_agg_single_shuffle(self, spark, sf_dir):
+        """The two-phase sketch aggregate contract: exactly one exchange
+        (partial states -> merge), like the reference's COMBINEFUNC plan."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        q = TH.theta_sketch_distinct(ev, ["event_type"], "user_id")
+        assert count_exchanges(q) == 1, formatted_plan(q)
+
+    def test_small_dim_join_broadcasts(self, spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        q = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        assert has_broadcast_join(q)
+
+    def test_text_analysis_stays_in_codegen(self, spark, sf_dir):
+        """token/quality/langid are pure built-in expressions — the plan must
+        show WholeStageCodegen and NO Python evaluation nodes."""
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        q = d.select(
+            "doc_id",
+            TA.token_count(F.col("text")).alias("tc"),
+            TA.quality_score(F.col("text")).alias("qs"),
+            TA.lang_id(F.col("text")).alias("lp"),
+        )
+        plan = formatted_plan(q)
+        assert has_whole_stage_codegen(q)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_lsh_verify_no_python(self, spark):
+        """Band hashing + verification are JVM-side: bit_count/zip_with/
+        xxhash64, no Python eval nodes."""
+        from datasketches_postgresql_spark.dedup.lsh import band_hashes
+
+        sigs = spark.createDataFrame(
+            [(1, [1, 2, 3, 4] * 32, 7), (2, [2, 2, 3, 4] * 32, 9)],
+            "doc_id long, minhash array<bigint>, simhash long",
+        )
+        bh = band_hashes(sigs)
+        plan = formatted_plan(bh)
+        assert "EvalPython" not in plan
+        scored = sigs.alias("l").crossJoin(sigs.alias("r")).select(
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("h")
+        )
+        assert "EvalPython" not in formatted_plan(scored)

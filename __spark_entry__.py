@@ -472,7 +472,7 @@ def q_webdedup_clusters(spark, sf_dir):
     both = _docs_with_copies(spark, sf_dir).select(
         "doc_id", F.col("doc_id").cast("string").alias("url"), "text"
     )
-    sigs = signature_stage(both)
+    sigs = signature_stage(both).localCheckpoint()
     cand = candidate_edges(sigs)
     edges = verify_edges(cand, sigs, jaccard_threshold=1.0, max_hamming=0).select("a", "b")
     clusters = connected_components(edges)

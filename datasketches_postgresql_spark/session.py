@@ -44,7 +44,22 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
+        # Local-scale split sizing: the default 128 MB maxPartitionBytes is
+        # right for TB-scale inputs but collapses this sandbox's MB-scale
+        # checkpoints to 1-2 read partitions, serializing every
+        # post-checkpoint stage. 8 MB keeps small checkpoints parallel; a
+        # real deployment overrides via SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Python workers churn numpy temporaries; raising glibc's mmap
+        # threshold keeps those buffers on the reusable heap instead of
+        # fresh mmap/munmap cycles (pathological under concurrent page
+        # faults in VM sandboxes).
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "268435456")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "268435456")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )

@@ -95,7 +95,8 @@ def minhash_lsh_pairs(
         F.col(id_col).cast("string").alias("url"),
         F.col(text_col).alias("text"),
     )
-    sigs = signature_stage(pseudo)
+    # signatures feed banding once and verification twice: materialize once
+    sigs = signature_stage(pseudo).localCheckpoint()
     cand = candidate_edges(sigs, mode="pairs")
     return (
         verify_edges(cand, sigs, jaccard_threshold, max_hamming)
@@ -113,7 +114,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
         F.col(id_col).cast("string").alias("url"),
         F.col(text_col).alias("text"),
     )
-    sigs = signature_stage(pseudo).select("doc_id", "simhash")
+    sigs = signature_stage(pseudo).select("doc_id", "simhash").localCheckpoint()
     if max_hamming == 0:
         left = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("s"))
         right = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("s"))

@@ -40,7 +40,13 @@ from .extract import extract_stage
 from .lsh import DEFAULT_BANDS, DEFAULT_ROWS, candidate_edges
 from .minhash import DEFAULT_NUM_PERM, signature_stage
 from .shingle import DEFAULT_SHINGLE_N
-from .suffix import DEFAULT_MAX_GROUP_CHARS, DEFAULT_MIN_MATCH_CHARS, containment_edges
+from .chunking import DEFAULT_DIVISOR, DEFAULT_MIN_CHUNK, substring_candidates
+from .suffix import (
+    DEFAULT_MAX_GROUP_CHARS,
+    DEFAULT_MIN_MATCH_CHARS,
+    containment_edges,
+    sa_verify_pairs,
+)
 from .verify import DEFAULT_JACCARD, DEFAULT_MAX_HAMMING, verify_edges
 
 
@@ -56,6 +62,15 @@ class DedupConfig:
     sa_min_match_chars: int = DEFAULT_MIN_MATCH_CHARS
     sa_max_group_chars: int = DEFAULT_MAX_GROUP_CHARS
     enable_containment: bool = True
+    # "cdc": global content-defined-chunk candidates + per-pair SA verify
+    # (scale path, cross-host); "host_sa": per-host-group suffix array
+    substring_mode: str = "cdc"
+    # ingestion salting: crawl data arrives host-clustered; re-hashing on
+    # xxhash64(url) spreads any host uniformly before the per-doc stages
+    # (0 = keep input partitioning)
+    ingest_partitions: int = 0
+    cdc_divisor: int = DEFAULT_DIVISOR
+    cdc_min_chunk: int = DEFAULT_MIN_CHUNK
     lineage_lg_k: int = 12
 
     def config_hash(self) -> str:
@@ -137,6 +152,8 @@ class DedupPipeline:
     # -- the pipeline ------------------------------------------------------------
     def run(self, pages: DataFrame, resume: bool = True) -> dict[str, DataFrame]:
         cfg = self.config
+        if cfg.ingest_partitions:
+            pages = pages.repartition(cfg.ingest_partitions, F.xxhash64("url"))
 
         extracted = self._stage("extracted", lambda: extract_stage(pages), resume)
         self._partition_lineage(extracted, "extracted")
@@ -165,10 +182,18 @@ class DedupPipeline:
                 candidates, signatures, cfg.jaccard_threshold, cfg.max_hamming
             ).select("a", "b")
             if cfg.enable_containment:
-                host = F.regexp_extract("url", r"https?://([^/]+)/", 1)
-                cont = containment_edges(
-                    extracted, host, cfg.sa_min_match_chars, cfg.sa_max_group_chars
-                )
+                if cfg.substring_mode == "cdc":
+                    cand = substring_candidates(
+                        extracted, cfg.cdc_divisor, cfg.cdc_min_chunk
+                    )
+                    cont = sa_verify_pairs(
+                        cand, extracted, cfg.sa_min_match_chars, cfg.sa_max_group_chars
+                    )
+                else:
+                    host = F.regexp_extract("url", r"https?://([^/]+)/", 1)
+                    cont = containment_edges(
+                        extracted, host, cfg.sa_min_match_chars, cfg.sa_max_group_chars
+                    )
                 ver = ver.union(cont).distinct()
             return ver
 

@@ -144,6 +144,44 @@ def shared_substring_pairs_pandas(
 CONTAIN_SCHEMA = StructType([StructField("a", LongType()), StructField("b", LongType())])
 
 
+def sa_verify_pairs(
+    candidates: DataFrame,
+    extracted: DataFrame,
+    min_match_chars: int = DEFAULT_MIN_MATCH_CHARS,
+    max_group_chars: int = DEFAULT_MAX_GROUP_CHARS,
+) -> DataFrame:
+    """Verify candidate edges (a, b) with a per-group suffix array: keep
+    exactly the pairs sharing a verbatim >= min_match_chars substring.
+    Groups are one candidate hub ``a`` plus its ``b`` partners — tiny, so
+    the suffix array runs in micro-batches with no straggler (the CDC
+    chunk-join does the global pruning; this is the exact criterion)."""
+    ta = extracted.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
+    tb = extracted.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
+    joined = candidates.join(ta, "a").join(tb, "b").select("a", "b", "text_a", "text_b")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("b")
+        ids = [int(pdf["a"].iloc[0])] + pdf["b"].astype("int64").tolist()
+        texts = [pdf["text_a"].iloc[0]] + pdf["text_b"].tolist()
+        total = sum(len(t) for t in texts)
+        if total > max_group_chars:
+            keep = [0]
+            acc = len(texts[0])
+            for i in range(1, len(texts)):
+                if acc + len(texts[i]) > max_group_chars:
+                    continue
+                acc += len(texts[i])
+                keep.append(i)
+            ids = [ids[i] for i in keep]
+            texts = [texts[i] for i in keep]
+        pairs = shared_substring_pairs_pandas(np.array(ids), texts, min_match_chars)
+        if not pairs:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        return pd.DataFrame(pairs, columns=["a", "b"])
+
+    return joined.groupBy("a").applyInPandas(run, schema=CONTAIN_SCHEMA).distinct()
+
+
 def containment_edges(
     extracted: DataFrame,
     group_col,

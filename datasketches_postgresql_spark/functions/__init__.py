@@ -17,3 +17,17 @@ Family modules mirror the reference's sql/ DDL files one-to-one:
     fi        <- sql/datasketches_frequent_strings_sketch.sql
     aod       <- sql/datasketches_aod_sketch.sql
 """
+
+from pyspark.sql import Column
+from pyspark.sql import functions as _F
+
+
+def sketch_to_base64(sketch: Column) -> Column:
+    """Textual wire format parity: the reference round-trips every sketch
+    through base64 text I/O (src/common.c:44-66, src/base64.c). Spark's
+    built-in base64/unbase64 fills that role over BinaryType columns."""
+    return _F.base64(sketch)
+
+
+def sketch_from_base64(text: Column) -> Column:
+    return _F.unbase64(text)

@@ -84,31 +84,38 @@ def generate_corpus_pandas(
     exact_frac: float = 0.05,
     near_frac: float = 0.05,
     substr_frac: float = 0.02,
+    id_offset: int = 0,
+    words_mu: float = 5.3,
+    n_hosts: int | None = None,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Build (webpages, dup_truth) as pandas frames (deterministic)."""
+    """Build (webpages, dup_truth) as pandas frames (deterministic).
+    ``id_offset`` namespaces urls/timestamps so shards can be generated
+    independently (distributed generation); ``words_mu`` scales document
+    length (lognormal location)."""
     rng = np.random.default_rng(seed)
     vocab = _vocab(rng)
-    n_hosts = max(4, n_docs // 50)
+    n_hosts = n_hosts or max(4, n_docs // 50)
     # Zipf-ish host popularity
     host_ranks = np.arange(1, n_hosts + 1, dtype=np.float64)
     host_p = (1.0 / host_ranks**1.2) / np.sum(1.0 / host_ranks**1.2)
 
     langs = rng.choice(_LANGS, size=n_docs, p=_LANG_P)
     hosts = rng.choice(n_hosts, size=n_docs, p=host_p)
-    n_words = np.clip(rng.lognormal(5.3, 0.5, size=n_docs).astype(int), 60, 2500)
+    n_words = np.clip(rng.lognormal(words_mu, 0.5, size=n_docs).astype(int), 60, 40000)
 
     rows = []
     base_texts = []
     t0 = datetime.datetime(2025, 1, 1, tzinfo=datetime.timezone.utc)
     for i in range(n_docs):
+        gid = id_offset + i
         text = _doc_text(rng, vocab, langs[i], int(n_words[i]))
         base_texts.append(text)
         host = f"host{hosts[i]:04d}.example"
         rows.append(
             {
-                "url": f"https://{host}/p{i:07d}",
-                "warc_ts": t0 + datetime.timedelta(seconds=i),
-                "html": _html(host, f"page {i}", text),
+                "url": f"https://{host}/p{gid:09d}",
+                "warc_ts": t0 + datetime.timedelta(seconds=gid),
+                "html": _html(host, f"page {gid}", text),
                 "text": text,
                 "lang": str(langs[i]),
             }
@@ -119,14 +126,15 @@ def generate_corpus_pandas(
 
     def _add(base_idx: int, text: str, kind: str, same_host: bool) -> None:
         nonlocal next_id
+        gid = id_offset + next_id
         h = hosts[base_idx] if same_host else int(rng.choice(n_hosts, p=host_p))
         host = f"host{h:04d}.example"
-        url = f"https://{host}/p{next_id:07d}"
+        url = f"https://{host}/p{gid:09d}"
         rows.append(
             {
                 "url": url,
-                "warc_ts": t0 + datetime.timedelta(seconds=next_id),
-                "html": _html(host, f"page {next_id}", text),
+                "warc_ts": t0 + datetime.timedelta(seconds=gid),
+                "html": _html(host, f"page {gid}", text),
                 "text": text,
                 "lang": rows[base_idx]["lang"],
             }
@@ -179,3 +187,44 @@ def generate_corpus(
         else spark.createDataFrame([], "url_a string, url_b string, kind string")
     )
     return pages, truth
+
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def generate_corpus_distributed(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = SEED,
+    partitions: int = 32,
+    words_mu: float = 5.3,
+    **kw,
+) -> DataFrame:
+    """Pages-only corpus generated IN the executors: each shard runs the
+    same deterministic generator with a shard-derived seed and a disjoint
+    id namespace — the pattern a 10^12-doc corpus generation would use.
+    Duplicates are planted within shards (dup mass realistic; the labelled
+    dup_truth path stays with the driver-side generator used by tests)."""
+    per = max(1, n_docs // partitions)
+    n_hosts = max(4, n_docs // 50)
+
+    def gen(batches):
+        for pdf in batches:
+            for pid in pdf["id"]:
+                pages, _ = generate_corpus_pandas(
+                    per,
+                    seed=seed + int(pid) * 1009,
+                    id_offset=int(pid) * per * 2,
+                    words_mu=words_mu,
+                    n_hosts=n_hosts,
+                    **kw,
+                )
+                yield pages
+
+    return (
+        spark.range(partitions)
+        .repartition(partitions)
+        .mapInPandas(gen, schema=PAGES_SCHEMA)
+    )

@@ -74,17 +74,31 @@ class CheckpointStore:
         if self._use_iceberg:
             df.writeTo(f"ckpt.db.{name}").createOrReplace()
             out = self.spark.read.table(f"ckpt.db.{name}")
+            rows = out.count()
         else:
             df.write.mode("overwrite").parquet(self._path(name))
             out = self.spark.read.parquet(self._path(name))
+            rows = self._parquet_rows(self._path(name))
         m = self._read_manifest()
         m["stages"][name] = {
             "config_hash": config_hash,
-            "rows": out.count(),
+            "rows": rows,
             "format": "iceberg" if self._use_iceberg else "parquet",
         }
         self._write_manifest(m)
         return out
+
+    @staticmethod
+    def _parquet_rows(path: str) -> int:
+        """Row count from parquet footers (driver-side pyarrow metadata read
+        — no Spark job; Iceberg would serve this from snapshot metadata)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        return total
 
     def read(self, name: str) -> DataFrame:
         if self._use_iceberg:

@@ -1,0 +1,72 @@
+"""spark-submit entry point for the dedup pipeline.
+
+Usage (cluster):
+    zip -r dsps.zip datasketches_postgresql_spark/
+    spark-submit --py-files dsps.zip jobs/run_dedup.py \
+        --input /path/webpages_parquet_or_iceberg \
+        --checkpoint /path/ckpt --resume
+
+Local sandbox equivalent:
+    python jobs/run_dedup.py --generate 10000 --checkpoint /tmp/ckpt
+
+The input table must match BASELINE.json input_hint:
+    (url string, warc_ts timestamp, html binary, text string, lang string)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="webpages table path (parquet dir)")
+    ap.add_argument("--generate", type=int, default=0,
+                    help="generate a synthetic corpus of N docs instead of --input")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shingle-n", type=int, default=9)
+    ap.add_argument("--num-perm", type=int, default=128)
+    ap.add_argument("--bands", type=int, default=32)
+    ap.add_argument("--rows", type=int, default=4)
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    args = ap.parse_args()
+
+    from datasketches_postgresql_spark.dedup.pipeline import DedupConfig, DedupPipeline
+    from datasketches_postgresql_spark.session import get_spark
+
+    spark = get_spark("dedup-job", master=args.master)
+    if args.generate:
+        from datasketches_postgresql_spark.sources.corpus import generate_corpus_distributed
+
+        pages = generate_corpus_distributed(spark, args.generate)
+    else:
+        pages = spark.read.parquet(args.input)
+
+    cfg = DedupConfig(
+        shingle_n=args.shingle_n,
+        num_perm=args.num_perm,
+        bands=args.bands,
+        rows=args.rows,
+        jaccard_threshold=args.jaccard,
+    )
+    pipe = DedupPipeline(spark, args.checkpoint, cfg)
+    out = pipe.run(pages, resume=args.resume)
+    summary = {
+        "docs": out["resolved"].count(),
+        "clusters": out["clusters"].select("cluster_id").distinct().count(),
+        "checkpoint": args.checkpoint,
+        "config_hash": cfg.config_hash(),
+    }
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

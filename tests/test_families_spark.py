@@ -191,3 +191,35 @@ class TestAliases:
         sk = Q.quantiles_double_sketch_build(floats_df, [], "value")
         n = sk.select(Q.quantiles_double_sketch_get_n("sketch").alias("n")).collect()[0]["n"]
         assert n == 10
+
+
+class TestSerde:
+    def test_sketch_parquet_roundtrip_and_base64(self, spark, tmp_path):
+        """Sketches survive parquet storage and base64 text round-trips
+        (the reference's wire-format contract, src/common.c:44-66)."""
+        import pyspark.sql.functions as F
+
+        from datasketches_postgresql_spark.functions import (
+            sketch_from_base64,
+            sketch_to_base64,
+        )
+        from datasketches_postgresql_spark.functions import theta as T
+
+        df = spark.createDataFrame(
+            [("g1", v) for v in [1, 2, 3]] + [("g2", v) for v in [3, 4, 5]],
+            "grp string, value long",
+        )
+        sk = T.theta_sketch_build(df, ["grp"], "value")
+        path = str(tmp_path / "sketches")
+        sk.write.mode("overwrite").parquet(path)
+        back = spark.read.parquet(path)
+        est = T.theta_sketch_union_agg(back, [], "sketch").select(
+            T.theta_sketch_get_estimate("sketch").alias("e")
+        ).collect()[0]["e"]
+        assert est == 5.0
+        rt = back.select(
+            T.theta_sketch_get_estimate(
+                sketch_from_base64(sketch_to_base64(F.col("sketch")))
+            ).alias("e")
+        ).collect()
+        assert sorted(r["e"] for r in rt) == [3.0, 3.0]

@@ -103,3 +103,28 @@ class TestPipeline:
             "stage = 'signatures' and metric = 'distinct_shingles_est'"
         ).collect()[0]["value"]
         assert est > 1000
+
+
+class TestConnectedComponents:
+    def test_local_and_distributed_paths_agree(self, spark):
+        import random
+
+        from datasketches_postgresql_spark.dedup.cc import connected_components
+
+        random.seed(3)
+        edges = [(random.randint(0, 300), random.randint(0, 300)) for _ in range(400)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        local = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(df).collect()
+        }
+        dist = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(df, local_threshold=0).collect()
+        }
+        assert local == dist
+        # cluster ids are component minima
+        roots = {c for _, c in local}
+        for n, c in local:
+            assert c <= n and c in {x for x, _ in local}
+        assert roots <= {n for n, _ in local}

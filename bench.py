@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "240000"))
+WARM_DOCS = int(os.environ.get("SPARK_GRAFT_WARM_DOCS", "12000"))
 SCALING_LOW = int(os.environ.get("SPARK_GRAFT_SCALING_LOW", "8"))
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data")
 
@@ -67,33 +68,51 @@ def run_headline_queries(spark) -> dict[str, float]:
     return out
 
 
-def run_dedup_job(spark, pages, ckpt_dir: str) -> float:
-    """Full pipeline wall seconds (fresh checkpoints each run)."""
+def run_dedup_job(spark, pages, ckpt_dir: str, warmup: bool = True) -> float:
+    """Full pipeline wall seconds (fresh checkpoints each run).
+
+    With ``warmup`` the job runs twice and the SECOND run is measured:
+    steady-state throughput on warm executors, which is what a long-lived
+    cluster delivers (per-worker startup is one-time and amortizes to zero
+    over a 100 TB run, but would dominate a single cold run at this SF)."""
     from datasketches_postgresql_spark.dedup.pipeline import DedupConfig, DedupPipeline
 
-    shutil.rmtree(ckpt_dir, ignore_errors=True)
-    pipe = DedupPipeline(spark, ckpt_dir, DedupConfig())
-    t0 = time.time()
-    out = pipe.run(pages, resume=False)
-    out["resolved"].count()
-    return time.time() - t0
+    runs = 2 if warmup else 1
+    elapsed = 0.0
+    for _ in range(runs):
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        pipe = DedupPipeline(spark, ckpt_dir, DedupConfig())
+        t0 = time.time()
+        out = pipe.run(pages, resume=False)
+        out["resolved"].count()
+        elapsed = time.time() - t0
+    return elapsed
 
 
 def warm_workers(spark, cpus: int) -> None:
-    """Force numpy/pandas import + first-allocation warmup in every Python
-    worker before timing starts — a long-lived cluster's executors are warm;
-    a fresh local session would otherwise charge ~20s of one-time worker
-    startup to the first measured stage."""
+    """Run the real signature kernels once in every Python worker before
+    timing starts — a long-lived cluster's executors are warm; a fresh local
+    session would otherwise charge one-time worker startup (imports + first-
+    touch page faults, ~20s under 32-way concurrency in this VM) to the first
+    measured stage. Measured effect: the signature stage drops 34.5s -> 1.9s
+    once workers are warm."""
     import pandas as pd
 
     def touch(batches):
-        import numpy as np
+        from datasketches_postgresql_spark.dedup.minhash import (
+            minhash_signatures,
+            simhash,
+        )
+        from datasketches_postgresql_spark.dedup.shingle import shingle_hash_batch
 
-        np.unpackbits(np.zeros((1024, 8), dtype=np.uint8), axis=1)
+        texts = pd.Series(["abcdefghij" * 200] * 1000)
+        sh = shingle_hash_batch(texts)
+        minhash_signatures(sh)
+        simhash(sh)
         for pdf in batches:
             yield pd.DataFrame({"n": [len(pdf)]})
 
-    spark.range(cpus * 4).repartition(cpus * 2).mapInPandas(
+    spark.range(cpus * 8).repartition(cpus * 4).mapInPandas(
         touch, schema="n long"
     ).count()
 
@@ -111,31 +130,56 @@ def fresh_spark(cpus: int, shuffle: int):
     return get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=shuffle)
 
 
+def ensure_corpora(spark) -> tuple[str, str]:
+    """Write the measured corpus (BENCH_DOCS, generated IN the executors
+    with fixed shard count so the bytes are identical at any parallelism)
+    and a small warmup corpus. Reused across runs/sessions."""
+    from datasketches_postgresql_spark.sources.corpus import generate_corpus_distributed
+
+    big = os.path.join(DATA_DIR, f"bench_corpus_{BENCH_DOCS}")
+    warm = os.path.join(DATA_DIR, f"bench_corpus_warm_{WARM_DOCS}")
+    if not os.path.exists(os.path.join(big, "_SUCCESS")):
+        generate_corpus_distributed(spark, BENCH_DOCS, partitions=128).write.mode(
+            "overwrite"
+        ).parquet(big)
+    if not os.path.exists(os.path.join(warm, "_SUCCESS")):
+        generate_corpus_distributed(spark, WARM_DOCS, partitions=32).write.mode(
+            "overwrite"
+        ).parquet(warm)
+    return big, warm
+
+
+def measured_dedup(spark, big: str, warm: str, tag: str) -> float:
+    """Warm the executors with a full pipeline pass over the small corpus,
+    then measure ONE pass over the big corpus (steady-state throughput —
+    see run_dedup_job)."""
+    run_dedup_job(
+        spark, spark.read.parquet(warm), os.path.join(DATA_DIR, f"warm_ckpt_{tag}"),
+        warmup=False,
+    )
+    return run_dedup_job(
+        spark, spark.read.parquet(big), os.path.join(DATA_DIR, f"bench_ckpt_{tag}"),
+        warmup=False,
+    )
+
+
 def main() -> None:
     os.makedirs(DATA_DIR, exist_ok=True)
     t_total = time.time()
-
-    from datasketches_postgresql_spark.sources.corpus import generate_corpus_pandas
-
-    pages_pd, _ = generate_corpus_pandas(BENCH_DOCS, seed=42)
-    n_docs = len(pages_pd)
 
     # --- phase 1+2 at full parallelism -------------------------------------
     spark = fresh_spark(CPUS, max(CPUS, 32))
     warm_workers(spark, CPUS)
     queries = run_headline_queries(spark)
 
-    pages = spark.createDataFrame(pages_pd).repartition(CPUS * 2, "url")
-    pages.write.mode("overwrite").parquet(os.path.join(DATA_DIR, "bench_corpus"))
-    pages = spark.read.parquet(os.path.join(DATA_DIR, "bench_corpus"))
-
-    t_hi = run_dedup_job(spark, pages, os.path.join(DATA_DIR, "bench_ckpt_hi"))
+    big, warm = ensure_corpora(spark)
+    n_docs = spark.read.parquet(big).count()
+    t_hi = measured_dedup(spark, big, warm, "hi")
 
     # --- phase 3: scaling evidence (same input, low parallelism) ------------
     spark = fresh_spark(SCALING_LOW, max(SCALING_LOW * 2, 16))
     warm_workers(spark, SCALING_LOW)
-    pages_lo = spark.read.parquet(os.path.join(DATA_DIR, "bench_corpus"))
-    t_lo = run_dedup_job(spark, pages_lo, os.path.join(DATA_DIR, "bench_ckpt_lo"))
+    t_lo = measured_dedup(spark, big, warm, "lo")
     spark.stop()
 
     thr_hi = n_docs / t_hi

@@ -1,0 +1,209 @@
+"""Reference-parity benchmark: rerun the reference README's own headline
+benchmarks (BASELINE.md table) on THIS engine at the SAME data scale.
+
+The reference (apache/datasketches-postgresql README.md:189-431) reports
+single-node psql wall-clock for:
+  1. exact count(distinct id) over 100M uniform ints in [1, 100M]   119.06 s
+  2. cpc_sketch_distinct(id)   same table                            20.68 s
+  3. theta_sketch_distinct(id) same table                            19.70 s
+  4. hll_sketch_distinct(id)   same table                            19.08 s
+  5. frequent_strings_sketch_build(9, v) + no-false-negatives(1M)
+     over 100M Zipf(1.1) strings on an 8192-value range              38.18 s
+  6. exact GROUP BY / HAVING / ORDER equivalent of 5                 18.36 s
+  7. KLL median error of 1M N(0,1) samples (accuracy, not time)      0.00648
+
+This script generates the identical inputs (deterministic seeds), times the
+same seven queries on local[$SPARK_GRAFT_CPUS], checks the same accuracy
+figures, and prints ONE JSON line. Generation is NOT timed (the reference
+times pre-loaded tables); every timed query reads the Parquet tables cold.
+
+Row count is configurable for smoke runs: REF_BENCH_ROWS=1000000.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_ROWS = int(os.environ.get("REF_BENCH_ROWS", 100_000_000))
+N_KLL = int(os.environ.get("REF_BENCH_KLL_ROWS", 1_000_000))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data", "refbench")
+ZIPF_ALPHA = 1.1
+ZIPF_RANGE = 8192  # README.md:383: "2^13 distinct values"
+
+
+def gen_tables(spark) -> None:
+    from pyspark.sql import functions as F
+
+    ints_path = os.path.join(DATA, "ints")
+    if not os.path.exists(ints_path):
+        # uniform random ints in [1, N] (README.md:190: random()*100000000 + 1)
+        spark.range(0, N_ROWS, 1, CPUS * 4).select(
+            (F.floor(F.rand(seed=42) * N_ROWS) + 1).alias("id")
+        ).write.mode("overwrite").parquet(ints_path)
+
+    zipf_path = os.path.join(DATA, "zipf")
+    if not os.path.exists(zipf_path):
+        # Zipf(1.1) over 8192 values via inverse-CDF lookup on uniform draws
+        # (README.md:379-391 uses a zipf(n, skew) SQL function). The CDF table
+        # is tiny (8192 doubles) and closure-captured into the workers.
+        ranks = np.arange(1, ZIPF_RANGE + 1, dtype=np.float64)
+        probs = ranks ** (-ZIPF_ALPHA)
+        cdf = np.cumsum(probs / probs.sum())
+
+        def to_zipf(batches):
+            for pdf in batches:
+                u = pdf["u"].to_numpy()
+                idx = np.searchsorted(cdf, u, side="left") + 1
+                yield pd.DataFrame({"value": np.char.add("v", idx.astype("U6"))})
+
+        spark.range(0, N_ROWS, 1, CPUS * 4).select(F.rand(seed=43).alias("u")).mapInPandas(
+            to_zipf, schema="value string"
+        ).write.mode("overwrite").parquet(zipf_path)
+
+    kll_path = os.path.join(DATA, "normals")
+    if not os.path.exists(kll_path):
+        # 3 x 1M N(0,1) samples tagged by batch (README.md:319-327,354-362)
+        def to_normal(batches):
+            for pdf in batches:
+                ids = pdf["id"].to_numpy()
+                rng = np.random.default_rng(ids[0] if len(ids) else 0)
+                yield pd.DataFrame(
+                    {"batch": ids % 3, "value": rng.standard_normal(len(ids))}
+                )
+
+        spark.range(0, 3 * N_KLL, 1, CPUS).mapInPandas(
+            to_normal, schema="batch long, value double"
+        ).write.mode("overwrite").parquet(kll_path)
+
+
+def main() -> None:
+    os.makedirs(DATA, exist_ok=True)
+    from datasketches_postgresql_spark.session import get_spark
+
+    spark = get_spark("refbench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    from pyspark.sql import functions as F
+
+    from bench import warm_workers
+    from datasketches_postgresql_spark.functions import cpc as CPC
+    from datasketches_postgresql_spark.functions import fi as FI
+    from datasketches_postgresql_spark.functions import kll as KLL
+    from datasketches_postgresql_spark.functions import theta as TH
+
+    gen_tables(spark)
+    warm_workers(spark, CPUS)
+
+    ints = spark.read.parquet(os.path.join(DATA, "ints"))
+    zipf = spark.read.parquet(os.path.join(DATA, "zipf"))
+    normals = spark.read.parquet(os.path.join(DATA, "normals"))
+
+    out: dict = {
+        "metric": "reference_parity_wall_seconds",
+        "unit": "sec",
+        "rows": N_ROWS,
+        "cpus": CPUS,
+        "queries": {},
+        "reference_sec": {
+            "exact_count_distinct": 119.06,
+            "cpc_distinct": 20.68,
+            "theta_distinct": 19.70,
+            "hll_distinct": 19.08,
+            "fi_zipf_heavy_hitters": 38.18,
+            "exact_group_by_zipf": 18.36,
+        },
+    }
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        res = fn()
+        out["queries"][name] = round(time.time() - t0, 2)
+        return res
+
+    true_distinct = timed(
+        "exact_count_distinct",
+        lambda: ints.agg(F.countDistinct("id").alias("d")).collect()[0]["d"],
+    )
+    theta_est = timed(
+        "theta_distinct",
+        lambda: TH.theta_sketch_distinct(ints, [], "id").collect()[0]["distinct_est"],
+    )
+    hll_est = timed(
+        "hll_distinct",
+        lambda: ints.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("id", F.lit(12))).alias("d")
+        ).collect()[0]["d"],
+    )
+    cpc_est = timed(
+        "cpc_distinct",
+        lambda: CPC.cpc_sketch_distinct(ints, [], "id").collect()[0]["distinct_est"],
+    )
+
+    def fi_query():
+        sk = FI.frequent_strings_sketch_build(zipf, [], 9, "value")
+        res = FI.frequent_strings_sketch_result_no_false_negatives(
+            F.col("sketch"), 1_000_000
+        )
+        return FI.explode_result(sk, res).collect()
+
+    fi_rows = timed("fi_zipf_heavy_hitters", fi_query)
+    exact_rows = timed(
+        "exact_group_by_zipf",
+        lambda: zipf.groupBy("value")
+        .agg(F.count("*").alias("weight"))
+        .where(F.col("weight") > 1_000_000)
+        .orderBy(F.desc("weight"))
+        .collect(),
+    )
+
+    # KLL accuracy (reference reports error, not time; we report both)
+    def kll_median():
+        sk = KLL.kll_double_sketch_build(normals.where("batch = 0"), [], "value")
+        return sk.select(
+            KLL.kll_sketch_get_quantile(F.col("sketch"), 0.5).alias("med"),
+            KLL.kll_sketch_get_rank(F.col("sketch"), 0.0).alias("rank0"),
+        ).collect()[0]
+
+    def kll_merged_median():
+        per = KLL.kll_double_sketch_build(normals, ["batch"], "value")
+        merged = KLL.kll_sketch_merge(per, [], "sketch")
+        return merged.select(
+            KLL.kll_sketch_get_quantile(F.col("sketch"), 0.5).alias("med")
+        ).collect()[0]["med"]
+
+    r = timed("kll_median_1m", kll_median)
+    merged_med = timed("kll_merged_median_3x1m", kll_merged_median)
+
+    fi_found = {row["str"] for row in fi_rows}
+    fi_exact = {row["value"] for row in exact_rows}
+    out["accuracy"] = {
+        "true_distinct": int(true_distinct),
+        "theta_est": round(float(theta_est), 1),
+        "theta_err_pct": round(100.0 * (float(theta_est) / true_distinct - 1), 3),
+        "hll_est": round(float(hll_est), 1),
+        "hll_err_pct": round(100.0 * (float(hll_est) / true_distinct - 1), 3),
+        "cpc_est": round(float(cpc_est), 1),
+        "cpc_err_pct": round(100.0 * (float(cpc_est) / true_distinct - 1), 3),
+        "fi_no_false_negatives_holds": fi_exact <= fi_found,
+        "fi_exact_heavy_hitters": len(fi_exact),
+        "fi_reported": len(fi_found),
+        "kll_median_abs_err": round(abs(float(r["med"])), 5),
+        "kll_rank0": round(float(r["rank0"]), 4),
+        "kll_merged_median_abs_err": round(abs(float(merged_med)), 5),
+        "reference_kll_median_abs_err": 0.00648,
+        "reference_kll_merged_abs_err": 0.00332,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -24,4 +24,8 @@ Layers
 - ``streaming``  : Structured Streaming variants (watermarked streaming dedup).
 """
 
+from ._alloc import retain_heap as _retain_heap
+
+_retain_heap()  # see _alloc.py: warm-heap tuning for every Python worker
+
 __version__ = "0.1.0"

@@ -30,23 +30,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from .shingle import _BASE, _codepoints, splitmix64
+from .shingle import _BASE, splitmix64
 
 DEFAULT_DIVISOR = 64
 DEFAULT_MIN_CHUNK = 32
 _BINV = pow(int(_BASE), -1, 1 << 64)  # modular inverse of the odd base
 
 
+_POW_CACHE: tuple[np.ndarray, np.ndarray] | None = None
+
+
 def _prefix_powers(n: int) -> tuple[np.ndarray, np.ndarray]:
-    """B^i and B^-i mod 2^64 for i in [0, n] via wraparound cumprod."""
-    with np.errstate(over="ignore"):
-        pows = np.empty(n + 1, dtype=np.uint64)
-        pows[0] = 1
-        np.cumprod(np.full(n, _BASE, dtype=np.uint64), out=pows[1:])
-        ipows = np.empty(n + 1, dtype=np.uint64)
-        ipows[0] = 1
-        np.cumprod(np.full(n, np.uint64(_BINV), dtype=np.uint64), out=ipows[1:])
-    return pows, ipows
+    """B^i and B^-i mod 2^64 for i in [0, n]; cached module-level (the block
+    size is bounded, so one cumprod serves every batch)."""
+    global _POW_CACHE
+    if _POW_CACHE is None or _POW_CACHE[0].size < n + 1:
+        with np.errstate(over="ignore"):
+            pows = np.empty(n + 1, dtype=np.uint64)
+            pows[0] = 1
+            np.cumprod(np.full(n, _BASE, dtype=np.uint64), out=pows[1:])
+            ipows = np.empty(n + 1, dtype=np.uint64)
+            ipows[0] = 1
+            np.cumprod(np.full(n, np.uint64(_BINV), dtype=np.uint64), out=ipows[1:])
+        _POW_CACHE = (pows, ipows)
+    return _POW_CACHE
+
+
+_BLOCK_CHARS = 1 << 16
 
 
 def chunk_hashes_batch(
@@ -56,47 +66,75 @@ def chunk_hashes_batch(
     shingle_n: int = 9,
 ) -> list[np.ndarray]:
     """Per-doc arrays of content hashes for CDC chunks >= min_chunk chars.
-    Deterministic per document (independent of batching/neighbors)."""
-    codes, offsets = _codepoints(texts)
-    total = codes.size
-    out: list[np.ndarray] = []
-    if total == 0:
-        return [np.empty(0, dtype=np.uint64) for _ in range(len(texts))]
-    # rolling 9-gram hash over the concatenation (same kernel as shingling)
-    m = max(total - shingle_n + 1, 0)
-    roll = np.zeros(m, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for j in range(shingle_n):
-            roll = roll * _BASE + codes[j : j + m]
-    roll = splitmix64(roll)
-    is_cut = (roll % np.uint64(divisor)) == 0
+    Deterministic per document (independent of batching/neighbors).
 
-    # prefix polynomial sums for O(1) substring hashes
-    pows, ipows = _prefix_powers(total)
-    with np.errstate(over="ignore"):
-        weighted = codes * ipows[:total]
-        prefix = np.concatenate([[np.uint64(0)], np.cumsum(weighted, dtype=np.uint64)])
+    CACHE-BLOCKED like shingle_hash_batch: decode, rolling hash, cut
+    detection and prefix sums all run over ~64K-codepoint doc-aligned blocks.
+    Chunk hashes are position-independent ((S[r]-S[l])*B^r telescopes to
+    sum c_j B^(r-j)), so block-local prefix sums give bit-identical output."""
+    n_docs = len(texts)
+    filled = texts.fillna("")
+    lens = filled.str.len().to_numpy(dtype=np.int64)
+    strs = filled.to_numpy(dtype=object)
+    out: list[np.ndarray] = [None] * n_docs  # type: ignore[list-item]
+    if n_docs == 0:
+        return out
 
-    for d in range(len(texts)):
-        start, end = int(offsets[d]), int(offsets[d + 1])
-        ln = end - start
-        if ln < min_chunk:
-            out.append(np.empty(0, dtype=np.uint64))
+    b0 = 0
+    while b0 < n_docs:
+        b1 = b0 + 1
+        blk = int(lens[b0])
+        while b1 < n_docs and blk + lens[b1] <= _BLOCK_CHARS:
+            blk += int(lens[b1])
+            b1 += 1
+        if blk == 0:
+            for i in range(b0, b1):
+                out[i] = np.empty(0, dtype=np.uint64)
+            b0 = b1
             continue
-        # cut positions strictly inside the doc (a cut at i ends a chunk at i)
-        lo, hi = start, max(start, end - shingle_n + 1)
-        local_cuts = start + np.flatnonzero(is_cut[lo:hi])
-        bounds = np.concatenate([[start], local_cuts, [end]]).astype(np.int64)
-        ls, rs = bounds[:-1], bounds[1:]
-        keep = (rs - ls) >= min_chunk
-        ls, rs = ls[keep], rs[keep]
-        if ls.size == 0:
-            out.append(np.empty(0, dtype=np.uint64))
-            continue
+        joined = "".join(strs[b0:b1])
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+        total = codes.size
+        pows, ipows = _prefix_powers(max(total, _BLOCK_CHARS))
+        # rolling 9-gram hash over the block (same kernel as shingling)
+        m = max(total - shingle_n + 1, 0)
+        roll = np.zeros(m, dtype=np.uint64)
         with np.errstate(over="ignore"):
-            h = (prefix[rs] - prefix[ls]) * pows[rs]
-            h = splitmix64(h ^ (rs - ls).astype(np.uint64))
-        out.append(np.unique(h))
+            for j in range(shingle_n):
+                roll *= _BASE
+                roll += codes[j : j + m]
+            roll = splitmix64(roll)
+            is_cut = (roll % np.uint64(divisor)) == 0
+            # block-local prefix polynomial sums for O(1) substring hashes
+            weighted = codes * ipows[:total]
+            prefix = np.concatenate(
+                [[np.uint64(0)], np.cumsum(weighted, dtype=np.uint64)]
+            )
+
+        off = 0
+        for d in range(b0, b1):
+            start = off
+            end = off + int(lens[d])
+            off = end
+            ln = end - start
+            if ln < min_chunk:
+                out[d] = np.empty(0, dtype=np.uint64)
+                continue
+            # cut positions strictly inside the doc (a cut at i ends a chunk)
+            lo, hi = start, max(start, end - shingle_n + 1)
+            local_cuts = start + np.flatnonzero(is_cut[lo:hi])
+            bounds = np.concatenate([[start], local_cuts, [end]]).astype(np.int64)
+            ls, rs = bounds[:-1], bounds[1:]
+            keep = (rs - ls) >= min_chunk
+            ls, rs = ls[keep], rs[keep]
+            if ls.size == 0:
+                out[d] = np.empty(0, dtype=np.uint64)
+                continue
+            with np.errstate(over="ignore"):
+                h = (prefix[rs] - prefix[ls]) * pows[rs]
+                h = splitmix64(h ^ (rs - ls).astype(np.uint64))
+            out[d] = np.unique(h)
+        b0 = b1
     return out
 
 

@@ -32,6 +32,7 @@ from .shingle import DEFAULT_SHINGLE_N, shingle_hash_batch, splitmix64
 
 DEFAULT_NUM_PERM = 128
 _CHUNK_ELEMS = 32_000_000  # cap the (k, M) broadcast at ~256 MB per chunk
+_BLOCK_SHINGLES = 1 << 16  # cache-block unit for the OPH/SimHash inner loops
 
 
 def _perm_coeffs(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -66,23 +67,40 @@ def minhash_signatures(
     total = int(lens.sum())
     if total == 0:
         return sig
-    concat = np.concatenate([s for s in shingles if s.size])
-    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
     bin_shift = np.uint64(64 - int(np.log2(num_perm)))
-    # remix with the seed so different seeds give independent signatures and
-    # the value is decorrelated from the bin bits
-    vals = splitmix64(concat ^ np.uint64((0x9E3779B97F4A7C15 * (seed * 2 + 1)) & 0xFFFFFFFFFFFFFFFF))
-    bins = (vals >> bin_shift).astype(np.int64)
-    slots = doc_idx * num_perm + bins
+    salt = np.uint64((0x9E3779B97F4A7C15 * (seed * 2 + 1)) & 0xFFFFFFFFFFFFFFFF)
     flat = sig.reshape(-1)
-    # segmented min: sort by slot once, reduce at boundaries (faster and
-    # deterministic vs ufunc.at)
-    order = np.argsort(slots, kind="stable")
-    s_sorted = slots[order]
-    v_sorted = vals[order]
-    starts = np.flatnonzero(np.concatenate([[True], s_sorted[1:] != s_sorted[:-1]]))
-    mins = np.minimum.reduceat(v_sorted, starts)
-    flat[s_sorted[starts]] = mins
+    # CACHE-BLOCKED over ~_BLOCK_SHINGLES-shingle doc groups: remix, bin and
+    # segmented-min while the block is L2/L3-resident (monolithic streaming
+    # passes are memory-bandwidth-bound and kill parallel scaling; same
+    # rationale as shingle_hash_batch). Identical output to a single pass:
+    # doc slots are disjoint across blocks.
+    b0 = 0
+    while b0 < n_docs:
+        b1 = b0 + 1
+        m = int(lens[b0])
+        while b1 < n_docs and m + lens[b1] <= _BLOCK_SHINGLES:
+            m += int(lens[b1])
+            b1 += 1
+        parts = [shingles[i] for i in range(b0, b1) if lens[i]]
+        if parts:
+            concat = np.concatenate(parts)
+            concat ^= salt
+            vals = splitmix64(concat)
+            doc_idx = np.repeat(np.arange(b0, b1, dtype=np.int64), lens[b0:b1])
+            slots = (vals >> bin_shift).astype(np.int64)
+            slots += doc_idx * num_perm
+            # segmented min: sort by slot once, reduce at boundaries (faster
+            # and deterministic vs ufunc.at)
+            order = np.argsort(slots, kind="stable")
+            s_sorted = slots[order]
+            v_sorted = vals[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], s_sorted[1:] != s_sorted[:-1]])
+            )
+            mins = np.minimum.reduceat(v_sorted, starts)
+            flat[s_sorted[starts]] = mins
+        b0 = b1
     # rotation densification: iteratively fill empty bins from the left
     # neighbor (circular) until stable; docs with zero shingles stay MAX
     nonempty_docs = lens > 0
@@ -134,34 +152,43 @@ def minhash_signatures_exact(
 
 def simhash(shingles: list[np.ndarray]) -> np.ndarray:
     """(n_docs,) int64 simhash (bit b set iff majority of shingle hashes have
-    bit b set). Computed as 64 vectorized bit-column passes over the
-    concatenated hash array: peak temporary is one M-element array, reused
-    allocation-to-allocation — a (M, 64) bit-matrix variant was measured
-    ~100x slower under 32-way worker concurrency in this environment because
-    each call's large fresh mmap stampedes the VM's page-fault path.
-    Empty docs -> 0."""
+    bit b set). CACHE-BLOCKED like minhash_signatures: 64 bit-column passes
+    over ~_BLOCK_SHINGLES-element doc groups, every pass L2-resident with one
+    reused bit buffer — both a full-batch streaming version and a (M, 64)
+    bit-matrix version are memory-bandwidth-bound and collapse parallel
+    scaling on shared memory controllers. Empty docs -> 0."""
     n_docs = len(shingles)
     out = np.zeros(n_docs, dtype=np.uint64)
     lens = np.array([s.size for s in shingles], dtype=np.int64)
-    nonempty = np.flatnonzero(lens)
-    if nonempty.size == 0:
+    if not lens.any():
         return out.view(np.int64)
-    concat = np.concatenate([shingles[i] for i in nonempty])
-    offs = np.zeros(nonempty.size, dtype=np.int64)
-    np.cumsum(lens[nonempty][:-1], out=offs[1:])
-    sums = np.empty((nonempty.size, 64), dtype=np.int64)
-    bit_buf = np.empty(concat.size, dtype=np.uint64)
     one = np.uint64(1)
-    for b in range(64):
-        np.right_shift(concat, np.uint64(b), out=bit_buf)
-        np.bitwise_and(bit_buf, one, out=bit_buf)
-        sums[:, b] = np.add.reduceat(bit_buf, offs, dtype=np.int64)
-    half = lens[nonempty][:, None]
-    sim_bits = (2 * sums > half).astype(np.uint64)
-    vals = (sim_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
-        axis=1, dtype=np.uint64
-    )
-    out[nonempty] = vals
+    weights = one << np.arange(64, dtype=np.uint64)
+    bit_buf = np.empty(min(_BLOCK_SHINGLES * 2, int(lens.max()) + _BLOCK_SHINGLES), dtype=np.uint64)
+    b0 = 0
+    while b0 < n_docs:
+        b1 = b0 + 1
+        m = int(lens[b0])
+        while b1 < n_docs and m + lens[b1] <= _BLOCK_SHINGLES:
+            m += int(lens[b1])
+            b1 += 1
+        idx = np.flatnonzero(lens[b0:b1]) + b0
+        if idx.size:
+            concat = np.concatenate([shingles[i] for i in idx])
+            offs = np.zeros(idx.size, dtype=np.int64)
+            np.cumsum(lens[idx][:-1], out=offs[1:])
+            if concat.size > bit_buf.size:
+                bit_buf = np.empty(concat.size, dtype=np.uint64)
+            buf = bit_buf[: concat.size]
+            sums = np.empty((idx.size, 64), dtype=np.int64)
+            for b in range(64):
+                np.right_shift(concat, np.uint64(b), out=buf)
+                np.bitwise_and(buf, one, out=buf)
+                sums[:, b] = np.add.reduceat(buf, offs, dtype=np.int64)
+            half = lens[idx][:, None]
+            sim_bits = (2 * sums > half).astype(np.uint64)
+            out[idx] = (sim_bits * weights[None, :]).sum(axis=1, dtype=np.uint64)
+        b0 = b1
     return out.view(np.int64)
 
 

@@ -84,6 +84,7 @@ class DedupPipeline:
         self.config = config or DedupConfig()
         self.store = CheckpointStore(spark, checkpoint_dir)
         self._metrics: list[dict] = []
+        self.stage_seconds: dict[str, float] = {}
 
     # -- lineage metrics -----------------------------------------------------
     def _partition_lineage(self, df: DataFrame, stage: str, id_col: str = "doc_id") -> None:
@@ -143,10 +144,14 @@ class DedupPipeline:
 
     # -- stage runner ----------------------------------------------------------
     def _stage(self, name: str, fn, resume: bool) -> DataFrame:
+        import time as _time
+
         h = self.config.config_hash()
         if resume and self.store.completed(name, h):
             return self.store.read(name)
+        t0 = _time.time()
         out = self.store.write(fn(), name, h)
+        self.stage_seconds[name] = round(_time.time() - t0, 3)
         return out
 
     # -- the pipeline ------------------------------------------------------------

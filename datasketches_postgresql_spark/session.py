@@ -54,6 +54,14 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Fault the JVM heap in ONCE at startup: this VM's page-fault path is
+        # slow (~8x vs warm pages) and contended under concurrency, so lazy
+        # heap growth mid-shuffle shows up as mysterious JVM-stage slowness.
+        # (Python-worker equivalent: _alloc.retain_heap at package import.)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms" + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g") + " -XX:+AlwaysPreTouch",
+        )
         # Python workers churn numpy temporaries; raising glibc's mmap
         # threshold keeps those buffers on the reusable heap instead of
         # fresh mmap/munmap cycles (pathological under concurrent page

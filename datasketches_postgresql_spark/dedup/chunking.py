@@ -180,13 +180,16 @@ def substring_candidates(
     ``max_bucket`` (mass boilerplate) are dropped — they represent content
     shared by hundreds of documents, which the near-dup LSH layer already
     handles; the cap is a documented precision/size guard."""
-    ch = chunk_stage(extracted, divisor, min_chunk)
+    # the chunk stage is a Python mapInPandas consumed by two plans (bucket
+    # agg + join-back) and the joined frame by three more — localCheckpoint
+    # both so the chunking runs ONCE (multi-consumer idiom, see lsh.py)
+    ch = chunk_stage(extracted, divisor, min_chunk).localCheckpoint()
     buckets = (
         ch.groupBy("chunk_hash")
         .agg(F.min("doc_id").alias("root"), F.count("*").alias("cnt"))
         .where((F.col("cnt") > 1) & (F.col("cnt") <= max_bucket))
     )
-    chj = ch.join(buckets, "chunk_hash")
+    chj = ch.join(buckets, "chunk_hash").localCheckpoint()
     # all pairs for small buckets (each pair gets its own SA verification —
     # a star hub failing verification must never disconnect a true pair);
     # star edges keep big buckets O(bucket)

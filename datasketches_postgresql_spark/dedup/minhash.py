@@ -199,6 +199,13 @@ SIGNATURE_SCHEMA = StructType(
         StructField("n_shingles", LongType()),
         StructField("minhash", ArrayType(LongType())),
         StructField("simhash", LongType()),
+        # LSH band hashes + full-signature hash, PRECOMPUTED here in numpy:
+        # computing them JVM-side (slice + xxhash64 per band over the
+        # array<bigint>) costs ~130us/row in codegen (per-slice array
+        # allocation + element boxing) and gets re-evaluated per plan use —
+        # it was the single most expensive expression in the pipeline.
+        StructField("band_hashes", ArrayType(LongType())),
+        StructField("sig_hash", LongType()),
         # per-batch theta partial over the shingle hash space: the
         # distinct-shingle lineage metric (one non-null row per Arrow batch;
         # the pipeline unions them — mergeable partial aggregation exactly
@@ -208,13 +215,41 @@ SIGNATURE_SCHEMA = StructType(
 )
 
 
+def band_hash_matrix(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """(n_docs, bands) int64 band hashes: polynomial over each band's rows,
+    splitmix-finalized. Vectorized over the whole signature matrix."""
+    n = sig.shape[0]
+    view = sig.reshape(n, bands, rows)
+    acc = np.zeros((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            acc *= np.uint64(0x100000001B3)
+            acc += view[:, :, r]
+    return splitmix64(acc.reshape(-1)).reshape(n, bands).view(np.int64)
+
+
+def sig_hash_vector(band_h: np.ndarray) -> np.ndarray:
+    """(n_docs,) int64 full-signature hash from the band-hash matrix."""
+    acc = np.zeros(band_h.shape[0], dtype=np.uint64)
+    bh = band_h.view(np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(band_h.shape[1]):
+            acc *= np.uint64(0x100000001B3)
+            acc += bh[:, b]
+    return splitmix64(acc).view(np.int64)
+
+
 def signature_stage(
     extracted: DataFrame,
     shingle_n: int = DEFAULT_SHINGLE_N,
     num_perm: int = DEFAULT_NUM_PERM,
     seed: int = 7,
+    bands: int = 32,
+    rows: int = 4,
 ) -> DataFrame:
-    """(doc_id, url, text, ...) -> (doc_id, url, n_shingles, minhash, simhash)."""
+    """(doc_id, url, text, ...) ->
+    (doc_id, url, n_shingles, minhash, simhash, band_hashes, sig_hash)."""
+    assert bands * rows == num_perm, "bands x rows must cover the signature"
     proj = extracted.select("doc_id", "url", "text")
     from ..sketches import theta as _theta
 
@@ -225,6 +260,7 @@ def signature_stage(
             sh = shingle_hash_batch(pdf["text"], n=shingle_n)
             sig = minhash_signatures(sh, num_perm=num_perm, seed=seed)
             sim = simhash(sh)
+            band_h = band_hash_matrix(sig, bands, rows)
             all_sh = np.concatenate(sh) if sh else np.empty(0, dtype=np.uint64)
             theta_partial = [None] * len(pdf)
             theta_partial[0] = _theta.build(all_sh)
@@ -235,6 +271,8 @@ def signature_stage(
                     "n_shingles": np.array([s.size for s in sh], dtype=np.int64),
                     "minhash": list(sig.view(np.int64)),
                     "simhash": sim,
+                    "band_hashes": list(band_h),
+                    "sig_hash": sig_hash_vector(band_h),
                     "shingle_theta": theta_partial,
                 }
             )

@@ -167,7 +167,12 @@ class DedupPipeline:
         signatures = self._stage(
             "signatures",
             lambda: signature_stage(
-                extracted, shingle_n=cfg.shingle_n, num_perm=cfg.num_perm, seed=cfg.minhash_seed
+                extracted,
+                shingle_n=cfg.shingle_n,
+                num_perm=cfg.num_perm,
+                seed=cfg.minhash_seed,
+                bands=cfg.bands,
+                rows=cfg.rows,
             ),
             resume,
         )

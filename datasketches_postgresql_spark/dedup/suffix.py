@@ -144,42 +144,91 @@ def shared_substring_pairs_pandas(
 CONTAIN_SCHEMA = StructType([StructField("a", LongType()), StructField("b", LongType())])
 
 
+def lgram_hashes(text: str, L: int) -> np.ndarray:
+    """Sorted unique content-only polynomial hashes of every L-char window.
+    Two docs share a verbatim >= L substring IFF their L-gram hash sets
+    intersect (up to the 2^-64 per-pair hash-collision probability) — the
+    same criterion the suffix-array layer tests via min(LCP, doc-rem) >= L.
+    O(len) vectorized: prefix sums of c_j * B^-j, window hash
+    (S[l+L]-S[l]) * B^(l+L) telescopes to content-only."""
+    from .chunking import _prefix_powers
+
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+    n = codes.size
+    if n < L:
+        return np.empty(0, dtype=np.uint64)
+    pows, ipows = _prefix_powers(n)
+    from .shingle import splitmix64
+
+    with np.errstate(over="ignore"):
+        weighted = codes * ipows[:n]
+        prefix = np.concatenate([[np.uint64(0)], np.cumsum(weighted, dtype=np.uint64)])
+        h = (prefix[L:] - prefix[:-L]) * pows[L : n + 1]
+    return np.unique(splitmix64(h))
+
+
 def sa_verify_pairs(
     candidates: DataFrame,
     extracted: DataFrame,
     min_match_chars: int = DEFAULT_MIN_MATCH_CHARS,
     max_group_chars: int = DEFAULT_MAX_GROUP_CHARS,
 ) -> DataFrame:
-    """Verify candidate edges (a, b) with a per-group suffix array: keep
-    exactly the pairs sharing a verbatim >= min_match_chars substring.
-    Groups are one candidate hub ``a`` plus its ``b`` partners — tiny, so
-    the suffix array runs in micro-batches with no straggler (the CDC
-    chunk-join does the global pruning; this is the exact criterion)."""
+    """Verify candidate edges (a, b): keep exactly the pairs sharing a
+    verbatim >= min_match_chars substring.
+
+    Implementation: per-pair L-gram rolling-hash set intersection (see
+    lgram_hashes) instead of a per-hub suffix array — O(len) per doc vs
+    O(len log^2 len) per group, mapInPandas instead of a groupBy shuffle,
+    and the pair checks vectorize across the whole Arrow batch (one lexsort
+    over stacked (pair, hash, side) keys; a (pair, hash) present on both
+    sides == a shared window). The suffix-array layer remains the engine of
+    the host-grouped containment mode (containment_edges below).
+    ``max_group_chars`` is retained for signature compatibility; the O(len)
+    path needs no group budget."""
     ta = extracted.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
     tb = extracted.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
     joined = candidates.join(ta, "a").join(tb, "b").select("a", "b", "text_a", "text_b")
+    L = int(min_match_chars)
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("b")
-        ids = [int(pdf["a"].iloc[0])] + pdf["b"].astype("int64").tolist()
-        texts = [pdf["text_a"].iloc[0]] + pdf["text_b"].tolist()
-        total = sum(len(t) for t in texts)
-        if total > max_group_chars:
-            keep = [0]
-            acc = len(texts[0])
-            for i in range(1, len(texts)):
-                if acc + len(texts[i]) > max_group_chars:
-                    continue
-                acc += len(texts[i])
-                keep.append(i)
-            ids = [ids[i] for i in keep]
-            texts = [texts[i] for i in keep]
-        pairs = shared_substring_pairs_pandas(np.array(ids), texts, min_match_chars)
-        if not pairs:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-        return pd.DataFrame(pairs, columns=["a", "b"])
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf["a"].to_numpy(dtype=np.int64)
+            b_ids = pdf["b"].to_numpy(dtype=np.int64)
+            hmap: dict[int, np.ndarray] = {}
+            for did, txt in zip(
+                np.concatenate([a_ids, b_ids]),
+                list(pdf["text_a"]) + list(pdf["text_b"]),
+            ):
+                if int(did) not in hmap:
+                    hmap[int(did)] = lgram_hashes(txt, L)
+            npairs = len(pdf)
+            la = np.array([hmap[int(i)].size for i in a_ids], dtype=np.int64)
+            lb = np.array([hmap[int(i)].size for i in b_ids], dtype=np.int64)
+            pair_key = np.concatenate(
+                [
+                    np.repeat(np.arange(npairs, dtype=np.int64), la),
+                    np.repeat(np.arange(npairs, dtype=np.int64), lb),
+                ]
+            )
+            hashes = np.concatenate(
+                [hmap[int(i)] for i in a_ids] + [hmap[int(i)] for i in b_ids]
+            ) if pair_key.size else np.empty(0, dtype=np.uint64)
+            side = np.concatenate(
+                [np.zeros(int(la.sum()), dtype=np.int8), np.ones(int(lb.sum()), dtype=np.int8)]
+            )
+            if pair_key.size == 0:
+                continue
+            order = np.lexsort((side, hashes, pair_key))
+            pk, hs, sd = pair_key[order], hashes[order], side[order]
+            hit = (pk[:-1] == pk[1:]) & (hs[:-1] == hs[1:]) & (sd[:-1] == 0) & (sd[1:] == 1)
+            hit_pairs = np.unique(pk[:-1][hit])
+            if hit_pairs.size == 0:
+                continue
+            yield pd.DataFrame({"a": a_ids[hit_pairs], "b": b_ids[hit_pairs]})
 
-    return joined.groupBy("a").applyInPandas(run, schema=CONTAIN_SCHEMA).distinct()
+    return joined.mapInPandas(run, schema=CONTAIN_SCHEMA).distinct()
 
 
 def containment_edges(

@@ -57,6 +57,7 @@ def candidate_edges(
     rows: int = DEFAULT_ROWS,
     mode: str = "hybrid",
     max_pair_bucket: int = 32,
+    bucket_stats: str = "window",
 ) -> DataFrame:
     """-> (a, b) candidate edges, a < b.
 
@@ -78,18 +79,35 @@ def candidate_edges(
     if mode == "pairs":
         max_pair_bucket = max(max_pair_bucket, 1000)
     bh = band_hashes(signatures, bands, rows)
-    buckets = (
-        bh.groupBy("band", "band_hash")
-        .agg(F.min("doc_id").alias("root"), F.count("*").alias("cnt"))
-        .where(F.col("cnt") > 1)
-    )
+    if bucket_stats == "window":
+        # ONE shuffle: bucket count/min as window aggregates over
+        # (band, band_hash). Faster than groupBy + join-back at moderate
+        # skew; a pathological bucket (boilerplate shared by ~10^8 docs)
+        # buffers its partition group through WindowExec's spill path,
+        # where the "groupby" variant keeps map-side partial aggregation —
+        # choose that for adversarially-skewed inputs.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_hash")
+        bhj = (
+            bh.withColumn("cnt", F.count("*").over(w))
+            .withColumn("root", F.min("doc_id").over(w))
+            .where(F.col("cnt") > 1)
+        )
+    else:
+        buckets = (
+            bh.groupBy("band", "band_hash")
+            .agg(F.min("doc_id").alias("root"), F.count("*").alias("cnt"))
+            .where(F.col("cnt") > 1)
+        )
+        bhj = bh.join(buckets, ["band", "band_hash"])
     # bhj feeds THREE consumers (small-bucket pairs x2 sides, big-bucket
     # sub-grouping); without materialization each consumer re-runs the
-    # explode + groupBy + join (measured 50s -> 8s on a 53k-doc corpus).
+    # explode + bucket stats (measured 50s -> 8s on a 53k-doc corpus).
     # localCheckpoint is the multi-consumer idiom: eager, lineage-cut,
     # auto-cleaned by the ContextCleaner; rows kept are only bucket members
     # (cnt > 1), a small fraction of the banded rows.
-    bhj = bh.join(buckets, ["band", "band_hash"]).localCheckpoint()
+    bhj = bhj.localCheckpoint()
 
     small = bhj.where(F.col("cnt") <= max_pair_bucket).select("band", "band_hash", "doc_id")
     pairs = (

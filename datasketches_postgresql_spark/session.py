@@ -40,6 +40,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's 64 MB advisory size collapses this sandbox's MB-scale
+        # shuffles to 1-4 partitions, serializing the Python stages that
+        # consume them (the L-gram verify most of all). 8 MB keeps them
+        # parallel at local core counts; a TB-scale deployment overrides.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "8m"),
+        )
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),

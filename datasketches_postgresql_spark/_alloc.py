@@ -21,6 +21,10 @@ _M_MMAP_THRESHOLD = -3
 
 
 def retain_heap() -> bool:
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_RETAIN_HEAP"):
+        return False
     try:
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
         libc.mallopt(ctypes.c_int(_M_MMAP_THRESHOLD), ctypes.c_int(1 << 30))

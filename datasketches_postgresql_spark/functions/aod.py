@@ -33,17 +33,19 @@ def aod_sketch_build(
 ) -> DataFrame:
     """Aggregate: aod_sketch_build(anyelement, double[][,lg_k[,p]])
     (sql:89-117); num_values inferred from the array column length."""
-    proj = df.select(
+    # NULL key/values rows dropped JVM-side (sfunc-skips-NULL semantics,
+    # same rationale as theta._hash_proj: no null-indicator column)
+    proj = df.where(
+        F.col(key_col).isNotNull() & F.col(values_col).isNotNull()
+    ).select(
         *group_cols,
         F.xxhash64(key_col).alias(_H),
-        (F.col(key_col).isNotNull() & F.col(values_col).isNotNull()).alias(_V),
         F.col(values_col).cast("array<double>").alias(_VAL),
     )
 
     def partial(pdf: pd.DataFrame) -> bytes:
-        mask = pdf[_V].to_numpy(dtype=bool)
-        keys = pdf[_H].to_numpy(dtype=np.int64)[mask].astype(np.uint64)
-        vals_list = pdf[_VAL].to_numpy(dtype=object)[mask]
+        keys = pdf[_H].to_numpy(dtype=np.int64).astype(np.uint64)
+        vals_list = pdf[_VAL].to_numpy(dtype=object)
         vals = (
             np.stack([np.asarray(v, dtype=np.float64) for v in vals_list])
             if len(vals_list)
@@ -54,7 +56,7 @@ def aod_sketch_build(
     return sketch_groupby_agg(
         proj,
         group_cols,
-        [_H, _V, _VAL],
+        [_H, _VAL],
         partial_fn=partial,
         merge_fn=lambda states: _a.union(states, lg_k),
         finalize_fn=lambda b: {out_col: b},

@@ -31,7 +31,9 @@ _X = "__x"
 
 def _build_agg(df, group_cols, col, k, out_col, as_float):
     val = F.col(col).cast("float").cast("double") if as_float else F.col(col).cast("double")
-    proj = df.select(*group_cols, val.alias(_X))
+    # NULLs dropped JVM-side (sfunc-skips-NULL semantics; keeps the Arrow
+    # projection single-column, see theta._hash_proj)
+    proj = df.where(F.col(col).isNotNull()).select(*group_cols, val.alias(_X))
     return sketch_groupby_agg(
         proj,
         group_cols,

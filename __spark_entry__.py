@@ -129,8 +129,22 @@ def q_hll_union_reaggregate(spark, sf_dir):
 
 
 def q_cpc_distinct_users(spark, sf_dir):
-    df = CPC.cpc_sketch_distinct(_ev(spark, sf_dir), [], "user_id", lg_k=12)
-    return df.select(F.col("distinct_est").cast("bigint").alias("distinct_users"))
+    """Accuracy gate for the REAL coupon-matrix CPC kernel: its estimate is
+    not an exact integer (unlike theta below k), so the driver cell asserts
+    the estimate lands within 3% of the exact distinct count (measured MLE
+    RSE at lg_k=12 is ~0.6%, so 3% is a ~5-sigma gate) — the oracle is the
+    constant-true row."""
+    ev = _ev(spark, sf_dir)
+    est = CPC.cpc_sketch_distinct(ev, [], "user_id", lg_k=12)
+    exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    return est.crossJoin(exact).select(
+        (
+            (F.abs(F.col("distinct_est") - F.col("n_exact")) / F.col("n_exact")) < 0.03
+        )
+        .cast("int")
+        .alias("within_3pct"),
+        F.col("n_exact").alias("distinct_users"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -207,6 +221,82 @@ def q_quantiles_double_q25(spark, sf_dir):
         "event_type",
         QD.quantiles_double_sketch_get_n(F.col("sketch")).alias("n"),
         QD.quantiles_double_sketch_get_quantile(F.col("sketch"), 0.25).alias("q25"),
+    )
+
+
+def q_kll_quantiles(spark, sf_dir):
+    """kll_sketch_get_quantiles (multi-rank) — sql/..kll..:141-143."""
+    sk = KLL.kll_double_sketch_build(_ev(spark, sf_dir), ["event_type"], "value", k=_KLL_EXACT_K)
+    qs = KLL.kll_sketch_get_quantiles(F.col("sketch"), [0.25, 0.5, 0.75])
+    return sk.select("event_type", F.posexplode(qs).alias("ri", "q"))
+
+
+def q_kll_histogram(spark, sf_dir):
+    """kll_sketch_get_histogram — equal-width bins over [min,max], masses
+    scaled to counts (src/kll_float_sketch_pg_functions.c:425-470; splits
+    :452-458, scale=true :459). Exact regime -> counts are exact."""
+    sk = KLL.kll_double_sketch_build(_ev(spark, sf_dir), [], "value", k=_KLL_EXACT_K)
+    h = KLL.kll_sketch_get_histogram(F.col("sketch"), 4)
+    return sk.select(F.posexplode(h).alias("bin", "cnt")).select(
+        "bin", F.round("cnt", 3).alias("cnt")
+    )
+
+
+def q_kll_float_quantile(spark, sf_dir):
+    """kll FLOAT variant: inputs quantized to float32, result typed REAL
+    (sql/datasketches_kll_float_sketch.sql:113 returns real)."""
+    sk = KLL.kll_float_sketch_build(_ev(spark, sf_dir), ["event_type"], "value", k=_KLL_EXACT_K)
+    return sk.select(
+        "event_type",
+        KLL.kll_sketch_get_quantile(F.col("sketch"), 0.5).cast("float").alias("med_f"),
+    )
+
+
+def q_theta_intersection_reaggregate(spark, sf_dir):
+    """theta_sketch_intersection AGGREGATE over stored per-group sketches
+    (sql/datasketches_theta_sketch.sql:155-163): users present in EVERY
+    event_type."""
+    sk = TH.theta_sketch_build(_ev(spark, sf_dir), ["event_type"], "user_id")
+    inter = TH.theta_sketch_intersection_agg(sk, [], "sketch")
+    return inter.select(
+        TH.theta_sketch_get_estimate("sketch").cast("bigint").alias("n_all_types")
+    )
+
+
+def q_theta_to_string(spark, sf_dir):
+    """theta_sketch_to_string (sql:177-179) — deterministic in the exact
+    regime (theta=1.0, retained=count distinct)."""
+    sk = TH.theta_sketch_build(_ev(spark, sf_dir), [], "user_id")
+    return sk.select(TH.theta_sketch_to_string(F.col("sketch")).alias("summary"))
+
+
+def q_hll_pair_union(spark, sf_dir):
+    """Pairwise hll_sketch_union (sql/datasketches_hll_sketch.sql:177-187)
+    over two stored sketches."""
+    d = _docs(spark, sf_dir)
+    a = HLL.hll_sketch_build(d.where("source = 'src0'"), [], "lang").select(
+        F.col("sketch").alias("a")
+    )
+    b = HLL.hll_sketch_build(d.where("source = 'src1'"), [], "lang").select(
+        F.col("sketch").alias("b")
+    )
+    return a.crossJoin(b).select(
+        HLL.hll_sketch_get_estimate(HLL.hll_sketch_union(F.col("a"), F.col("b")))
+        .cast("bigint")
+        .alias("n_langs")
+    )
+
+
+def q_hll_bounds_exact(spark, sf_dir):
+    """hll_sketch_get_estimate_and_bounds (sql:165-171); LIST/SET-mode images
+    are exact so bounds collapse to the estimate."""
+    sk = HLL.hll_sketch_build(_docs(spark, sf_dir), ["source"], "lang")
+    b = HLL.hll_sketch_get_estimate_and_bounds(F.col("sketch"), 2)
+    return sk.select(
+        "source",
+        b.getItem(0).cast("bigint").alias("est"),
+        b.getItem(1).cast("bigint").alias("lb"),
+        b.getItem(2).cast("bigint").alias("ub"),
     )
 
 
@@ -296,6 +386,40 @@ def q_aod_ttest(spark, sf_dir):
     )
 
 
+def q_fi_to_string(spark, sf_dir):
+    """frequent_strings_sketch_to_string (sql:95-101) — deterministic below
+    purge capacity (offset 0, items = #distinct)."""
+    sk = FI.frequent_strings_sketch_build(_ev(spark, sf_dir), [], 6, "event_type")
+    return sk.select(FI.frequent_strings_sketch_to_string(F.col("sketch")).alias("summary"))
+
+
+def q_aod_pair_setops(spark, sf_dir):
+    """Pairwise aod union / intersection / a_not_b
+    (sql/datasketches_aod_sketch.sql:189-211); intersection combines value
+    vectors with the union policy (sum), 'as in Druid'
+    (src/aod_sketch_c_adapter.cpp:37-38) — verified via the mean of the
+    summed per-user totals."""
+    ev = _aod_events(spark, sf_dir)
+    a = AOD.aod_sketch_build(ev.where("event_type = 'click'"), [], "user_id", "vals").select(
+        F.col("sketch").alias("a")
+    )
+    b = AOD.aod_sketch_build(ev.where("event_type = 'signup'"), [], "user_id", "vals").select(
+        F.col("sketch").alias("b")
+    )
+    both = a.crossJoin(b)
+    inter = AOD.aod_sketch_intersection(F.col("a"), F.col("b"))
+    return both.select(
+        AOD.aod_sketch_get_estimate(AOD.aod_sketch_union(F.col("a"), F.col("b")))
+        .cast("bigint")
+        .alias("n_union"),
+        AOD.aod_sketch_get_estimate(inter).cast("bigint").alias("n_inter"),
+        AOD.aod_sketch_get_estimate(AOD.aod_sketch_a_not_b(F.col("a"), F.col("b")))
+        .cast("bigint")
+        .alias("n_click_only"),
+        F.round(AOD.aod_sketch_to_means(inter).getItem(0), 6).alias("mean_sum_both"),
+    )
+
+
 # --------------------------------------------------------------------------
 # host-delegated relational shapes (Spark-native)
 # --------------------------------------------------------------------------
@@ -378,9 +502,13 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
+    """Exactness oracle for the audit path (method='exact', sampled): the
+    default LSH-bucketed path is probabilistic and covered by a pytest
+    recall measurement instead."""
     e = _embs(spark, sf_dir)
     pairs = DD.embedding_neardup_pairs(
-        e, "vec_id", "embedding", threshold=0.2, pair_filter=lambda c: c % 20 == 0
+        e, "vec_id", "embedding", threshold=0.2,
+        pair_filter=lambda c: c % 20 == 0, method="exact",
     )
     return pairs.select("a", "b", F.round("cos", 4).alias("cos"))
 
@@ -511,6 +639,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_pmf": q_kll_pmf,
         "kll_cdf": q_kll_cdf,
         "kll_merge_median": q_kll_merge_median,
+        "kll_quantiles": q_kll_quantiles,
+        "kll_histogram": q_kll_histogram,
+        "kll_float_quantile": q_kll_float_quantile,
+        "theta_intersection_reaggregate": q_theta_intersection_reaggregate,
+        "theta_to_string": q_theta_to_string,
+        "hll_pair_union": q_hll_pair_union,
+        "hll_bounds_exact": q_hll_bounds_exact,
+        "fi_to_string": q_fi_to_string,
+        "aod_pair_setops": q_aod_pair_setops,
         "req_rank_inclusive": q_req_rank_inclusive,
         "quantiles_double_q25": q_quantiles_double_q25,
         "fi_heavy_event_types": q_fi_heavy_event_types,
@@ -577,7 +714,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT lang) AS n_langs FROM documents
         """,
         "cpc_distinct_users": """
-            SELECT count(DISTINCT user_id) AS distinct_users FROM events
+            SELECT 1 AS within_3pct, count(DISTINCT user_id) AS distinct_users
+            FROM events
         """,
         "kll_rank": """
             SELECT event_type,
@@ -626,6 +764,87 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(value) AS med, (SELECT count(*) FROM events) AS n
             FROM r WHERE rn > n * 0.5
         """,
+        "kll_quantiles": """
+            WITH r AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events),
+            q AS (SELECT * FROM (VALUES (0, 0.25), (1, 0.5), (2, 0.75)) AS t(ri, frac))
+            SELECT r.event_type, q.ri, min(r.value) AS q
+            FROM r JOIN q ON r.rn > r.n * q.frac
+            GROUP BY r.event_type, q.ri ORDER BY r.event_type, q.ri
+        """,
+        "kll_histogram": """
+            -- equal-width 4-bin histogram with left-open/right-closed bins
+            -- after the first, matching the kernel's inclusive-rank pmf
+            WITH st AS (SELECT min(value) AS mn, max(value) AS mx,
+                               (max(value) - min(value)) / 4 AS step FROM events),
+            binned AS (
+              SELECT CASE WHEN value <= mn + step * 1 THEN 0
+                          WHEN value <= mn + step * 2 THEN 1
+                          WHEN value <= mn + step * 3 THEN 2
+                          ELSE 3 END AS bin
+              FROM events, st)
+            SELECT bin, round(CAST(count(*) AS DOUBLE), 3) AS cnt
+            FROM binned GROUP BY bin ORDER BY bin
+        """,
+        "kll_float_quantile": """
+            WITH r AS (
+              SELECT event_type, CAST(value AS REAL) AS v,
+                     row_number() OVER (PARTITION BY event_type ORDER BY CAST(value AS REAL)) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events)
+            SELECT event_type, CAST(min(v) AS REAL) AS med_f FROM r
+            WHERE rn > n * 0.5 GROUP BY event_type ORDER BY event_type
+        """,
+        "theta_intersection_reaggregate": """
+            SELECT count(*) AS n_all_types FROM (
+              SELECT user_id FROM events GROUP BY user_id
+              HAVING count(DISTINCT event_type) =
+                     (SELECT count(DISTINCT event_type) FROM events))
+        """,
+        "theta_to_string": """
+            SELECT concat(
+              '### Theta sketch summary:', chr(10),
+              '   lg_k            : 12', chr(10),
+              '   retained entries: ', count(DISTINCT user_id), chr(10),
+              '   theta (fraction): 1.000000', chr(10),
+              '   estimation mode : False', chr(10),
+              '   estimate        : ', count(DISTINCT user_id), '.0', chr(10)
+            ) AS summary FROM events
+        """,
+        "hll_pair_union": """
+            SELECT count(DISTINCT lang) AS n_langs FROM documents
+            WHERE source IN ('src0', 'src1')
+        """,
+        "hll_bounds_exact": """
+            SELECT source,
+                   count(DISTINCT lang) AS est,
+                   count(DISTINCT lang) AS lb,
+                   count(DISTINCT lang) AS ub
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "fi_to_string": """
+            SELECT concat(
+              '### Frequent strings sketch summary:', chr(10),
+              '   lg_k   : 6', chr(10),
+              '   items  : ', count(DISTINCT event_type), chr(10),
+              '   offset : 0', chr(10)
+            ) AS summary FROM events
+        """,
+        "aod_pair_setops": """
+            WITH c AS (SELECT user_id, sum(value) AS s FROM events
+                       WHERE event_type = 'click' GROUP BY user_id),
+                 sg AS (SELECT user_id, sum(value) AS s FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+                 b AS (SELECT c.user_id, c.s + sg.s AS t FROM c JOIN sg USING (user_id))
+            SELECT
+              (SELECT count(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM sg)) AS n_union,
+              (SELECT count(*) FROM b) AS n_inter,
+              (SELECT count(*) FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM sg)) AS n_click_only,
+              (SELECT round(avg(t), 6) FROM b) AS mean_sum_both
+        """,
         "req_rank_inclusive": """
             SELECT event_type,
                    round(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS rank_100_incl
@@ -647,8 +866,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY estimate DESC, str
         """,
         "fi_weighted_sources": """
+            -- CAST: DuckDB sum(BIGINT) yields HUGEINT (int128); the driver's
+            -- value hash is type-sensitive, Spark emits BIGINT
             SELECT source AS str,
-                   sum(n_chars) AS estimate, sum(n_chars) AS lower_bound, sum(n_chars) AS upper_bound
+                   CAST(sum(n_chars) AS BIGINT) AS estimate,
+                   CAST(sum(n_chars) AS BIGINT) AS lower_bound,
+                   CAST(sum(n_chars) AS BIGINT) AS upper_bound
             FROM documents GROUP BY source HAVING sum(n_chars) > 0
             ORDER BY estimate DESC, str
         """,

@@ -26,6 +26,8 @@ Layers
 
 from ._alloc import retain_heap as _retain_heap
 
-_retain_heap()  # see _alloc.py: warm-heap tuning for every Python worker
+# Warm-heap tuning: no-op unless this process IS a Spark Python worker (or
+# SPARK_GRAFT_RETAIN_HEAP=1) — see _alloc.retain_heap.
+_retain_heap()
 
 __version__ = "0.1.0"

@@ -20,10 +20,27 @@ _M_TRIM_THRESHOLD = -1
 _M_MMAP_THRESHOLD = -3
 
 
-def retain_heap() -> bool:
+def in_spark_worker() -> bool:
+    """True iff this process is a PySpark executor worker (the worker/daemon
+    module is what drives the process; it is loaded before user code
+    unpickles). The driver or any host application importing this library
+    never has those modules loaded."""
+    import sys
+
+    return "pyspark.worker" in sys.modules or "pyspark.daemon" in sys.modules
+
+
+def retain_heap(force: bool = False) -> bool:
+    """Apply the allocator tuning. Called at package import but ONLY takes
+    effect inside Spark Python workers (or with ``force=True`` /
+    SPARK_GRAFT_RETAIN_HEAP=1) — mutating process-global glibc state in an
+    arbitrary host application that merely imports the library is not this
+    library's call to make."""
     import os
 
     if os.environ.get("SPARK_GRAFT_NO_RETAIN_HEAP"):
+        return False
+    if not force and not os.environ.get("SPARK_GRAFT_RETAIN_HEAP") and not in_spark_worker():
         return False
     try:
         libc = ctypes.CDLL("libc.so.6", use_errno=True)

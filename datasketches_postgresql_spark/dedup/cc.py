@@ -19,8 +19,11 @@ node: (node, root) IS the cluster assignment.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..plans.materialize import materialize
 
 MAX_ITERATIONS = 50
 
@@ -62,56 +65,57 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _local_union_find(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
-    """Driver-side DSU with path compression; roots normalized to the
-    component minimum."""
-    parent: dict[int, int] = {}
+def _local_components_numpy(spark, canon: DataFrame) -> DataFrame:
+    """Driver fast path: Arrow-collect the edge list into two int64 numpy
+    arrays (16 B/edge — no Python Row objects) and resolve components with
+    vectorized min-label propagation + pointer jumping. O(E) memory,
+    O(E log n) work, converges in a handful of passes on LSH star graphs."""
+    import numpy as np
 
-    def find(x: int) -> int:
-        root = x
-        while parent.setdefault(root, root) != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for u, v in pairs:
-        ru, rv = find(u), find(v)
-        if ru != rv:
-            # attach larger root under smaller -> root is component min
-            if ru < rv:
-                parent[rv] = ru
-            else:
-                parent[ru] = rv
-    return [(n, find(n)) for n in parent]
+    pdf = canon.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], "doc_id long, cluster_id long")
+    u = pdf["u"].to_numpy(dtype=np.int64)
+    v = pdf["v"].to_numpy(dtype=np.int64)
+    nodes, edges_idx = np.unique(np.concatenate([u, v]), return_inverse=True)
+    eu, ev = edges_idx[: len(u)], edges_idx[len(u):]
+    label = np.arange(nodes.size, dtype=np.int64)
+    while True:  # terminates: sum(label) strictly decreases until the fixpoint
+        before = label.copy()
+        m = np.minimum(label[eu], label[ev])
+        np.minimum.at(label, eu, m)
+        np.minimum.at(label, ev, m)
+        label = label[label]  # pointer jumping halves chain depth
+        if np.array_equal(label, before):
+            break
+    # labels are indices into the ASCENDING-sorted unique nodes, so the min
+    # label maps back to the component's minimum original doc_id
+    out = pd.DataFrame({"doc_id": nodes, "cluster_id": nodes[label]})
+    return spark.createDataFrame(out)
 
 
 def connected_components(
     edges: DataFrame,
     max_iterations: int = MAX_ITERATIONS,
-    local_threshold: int = 5_000_000,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """edges (a, b) -> assignments (doc_id, cluster_id); cluster_id = the
     component's minimum doc_id. Nodes not present in any edge are not
     returned (singletons are their own cluster implicitly).
 
     Hybrid strategy (what production graph layers do): an edge set that fits
-    the driver comfortably (< local_threshold, ~16 B/edge) is solved with a
-    single collect + union-find — one job instead of ~6 per large-star/
-    small-star round. Bigger graphs run the distributed O(log n)-round loop;
-    both paths produce identical assignments (tested)."""
+    the driver comfortably (< local_threshold edges, 16 B/edge as numpy —
+    ~32 MB at the default) is Arrow-collected and solved vectorized — one
+    job instead of ~6 per large-star/small-star round. Bigger graphs run
+    the distributed O(log n)-round loop; both paths produce identical
+    assignments (tested)."""
     canon = _canonical(edges)
     n_edges = canon.count()
     if n_edges <= local_threshold:
-        spark = edges.sparkSession
-        pairs = [(int(r["u"]), int(r["v"])) for r in canon.collect()]
-        assign = _local_union_find(pairs)
-        if not assign:
-            return spark.createDataFrame([], "doc_id long, cluster_id long")
-        return spark.createDataFrame(assign, "doc_id long, cluster_id long")
-    cur = canon.localCheckpoint()
+        return _local_components_numpy(edges.sparkSession, canon)
+    cur = materialize(canon)
     for _ in range(max_iterations):
-        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        nxt = materialize(_small_star(_large_star(cur)))
         # exact fixed-point check: same count and no edge not already present
         if nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty():
             cur = nxt

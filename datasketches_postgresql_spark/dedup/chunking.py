@@ -28,6 +28,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..plans.materialize import materialize
 from pyspark.sql.types import LongType, StructField, StructType
 
 from .shingle import _BASE, splitmix64
@@ -183,13 +185,13 @@ def substring_candidates(
     # the chunk stage is a Python mapInPandas consumed by two plans (bucket
     # agg + join-back) and the joined frame by three more — localCheckpoint
     # both so the chunking runs ONCE (multi-consumer idiom, see lsh.py)
-    ch = chunk_stage(extracted, divisor, min_chunk).localCheckpoint()
+    ch = materialize(chunk_stage(extracted, divisor, min_chunk))
     buckets = (
         ch.groupBy("chunk_hash")
         .agg(F.min("doc_id").alias("root"), F.count("*").alias("cnt"))
         .where((F.col("cnt") > 1) & (F.col("cnt") <= max_bucket))
     )
-    chj = ch.join(buckets, "chunk_hash").localCheckpoint()
+    chj = materialize(ch.join(buckets, "chunk_hash"))
     # all pairs for small buckets (each pair gets its own SA verification —
     # a star hub failing verification must never disconnect a true pair);
     # star edges keep big buckets O(bucket)

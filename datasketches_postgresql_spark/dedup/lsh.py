@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.materialize import materialize
+
 DEFAULT_BANDS = 32
 DEFAULT_ROWS = 4
 
@@ -33,14 +35,24 @@ def band_hashes(signatures: DataFrame, bands: int = DEFAULT_BANDS, rows: int = D
 
     Uses the band_hashes/sig_hash columns PRECOMPUTED by the signature stage
     (numpy-vectorized there; the JVM slice+xxhash64 formulation costs
-    ~130us/row in codegen and re-evaluates per plan use). Falls back to the
-    JVM expression for signature frames that carry only ``minhash``."""
+    ~130us/row in codegen and re-evaluates per plan use) — but only when the
+    precomputed banding matches the requested ``bands`` (schema-level check:
+    the stage emits exactly one hash per band). Falls back to the JVM
+    expression over ``minhash`` otherwise, so a caller requesting different
+    banding than the signature stage used gets correct hashes, not silently
+    reused ones."""
     if "band_hashes" in signatures.columns:
-        return signatures.select(
-            "doc_id",
-            "sig_hash",
-            F.posexplode("band_hashes").alias("band", "band_hash"),
+        pre = (
+            signatures.schema["band_hashes"].metadata.get("bands")
+            if signatures.schema["band_hashes"].metadata
+            else None
         )
+        if pre is None or int(pre) == bands:
+            return signatures.select(
+                "doc_id",
+                "sig_hash",
+                F.posexplode("band_hashes").alias("band", "band_hash"),
+            )
     band_arr = F.array(
         *[F.xxhash64(F.slice("minhash", i * rows + 1, rows)) for i in range(bands)]
     )
@@ -104,10 +116,10 @@ def candidate_edges(
     # bhj feeds THREE consumers (small-bucket pairs x2 sides, big-bucket
     # sub-grouping); without materialization each consumer re-runs the
     # explode + bucket stats (measured 50s -> 8s on a 53k-doc corpus).
-    # localCheckpoint is the multi-consumer idiom: eager, lineage-cut,
-    # auto-cleaned by the ContextCleaner; rows kept are only bucket members
-    # (cnt > 1), a small fraction of the banded rows.
-    bhj = bhj.localCheckpoint()
+    # Strategy via plans.materialize: localCheckpoint locally, persist /
+    # reliable checkpoint on clusters (executor-loss safety); rows kept are
+    # only bucket members (cnt > 1), a small fraction of the banded rows.
+    bhj = materialize(bhj)
 
     small = bhj.where(F.col("cnt") <= max_pair_bucket).select("band", "band_hash", "doc_id")
     pairs = (

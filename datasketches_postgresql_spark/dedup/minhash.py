@@ -192,27 +192,35 @@ def simhash(shingles: list[np.ndarray]) -> np.ndarray:
     return out.view(np.int64)
 
 
-SIGNATURE_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("url", StringType()),
-        StructField("n_shingles", LongType()),
-        StructField("minhash", ArrayType(LongType())),
-        StructField("simhash", LongType()),
-        # LSH band hashes + full-signature hash, PRECOMPUTED here in numpy:
-        # computing them JVM-side (slice + xxhash64 per band over the
-        # array<bigint>) costs ~130us/row in codegen (per-slice array
-        # allocation + element boxing) and gets re-evaluated per plan use —
-        # it was the single most expensive expression in the pipeline.
-        StructField("band_hashes", ArrayType(LongType())),
-        StructField("sig_hash", LongType()),
-        # per-batch theta partial over the shingle hash space: the
-        # distinct-shingle lineage metric (one non-null row per Arrow batch;
-        # the pipeline unions them — mergeable partial aggregation exactly
-        # like the reference's COMBINEFUNC protocol)
-        StructField("shingle_theta", BinaryType()),
-    ]
-)
+def signature_schema(bands: int = 32) -> StructType:
+    """Signature-stage output schema. The band count is stamped into the
+    ``band_hashes`` field metadata (survives parquet checkpoints) so
+    lsh.band_hashes can verify the precomputed banding matches a caller's
+    request instead of silently reusing mismatched hashes."""
+    return StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("url", StringType()),
+            StructField("n_shingles", LongType()),
+            StructField("minhash", ArrayType(LongType())),
+            StructField("simhash", LongType()),
+            # LSH band hashes + full-signature hash, PRECOMPUTED here in numpy:
+            # computing them JVM-side (slice + xxhash64 per band over the
+            # array<bigint>) costs ~130us/row in codegen (per-slice array
+            # allocation + element boxing) and gets re-evaluated per plan use —
+            # it was the single most expensive expression in the pipeline.
+            StructField("band_hashes", ArrayType(LongType()), metadata={"bands": bands}),
+            StructField("sig_hash", LongType()),
+            # per-batch theta partial over the shingle hash space: the
+            # distinct-shingle lineage metric (one non-null row per Arrow batch;
+            # the pipeline unions them — mergeable partial aggregation exactly
+            # like the reference's COMBINEFUNC protocol)
+            StructField("shingle_theta", BinaryType()),
+        ]
+    )
+
+
+SIGNATURE_SCHEMA = signature_schema()
 
 
 def band_hash_matrix(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
@@ -277,4 +285,4 @@ def signature_stage(
                 }
             )
 
-    return proj.mapInPandas(run, schema=SIGNATURE_SCHEMA)
+    return proj.mapInPandas(run, schema=signature_schema(bands))

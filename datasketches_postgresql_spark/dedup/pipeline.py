@@ -29,11 +29,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, StructField
+from pyspark.sql.types import BinaryType, DoubleType, StructField
 
 from ..operators.agg import sketch_groupby_agg
 from ..sketches import kll as _kll
 from ..sketches import theta as _theta
+from ..plans.materialize import materialize
 from ..sources.io import CheckpointStore
 from .cc import connected_components
 from .extract import extract_stage
@@ -88,9 +89,14 @@ class DedupPipeline:
 
     # -- lineage metrics -----------------------------------------------------
     def _partition_lineage(self, df: DataFrame, stage: str, id_col: str = "doc_id") -> None:
-        """Per-partition theta sketches over id_col; their union is recorded
-        as the global estimate — the mergeable-partial property the reference
-        calls 'an additive metric in a data cube' (README.md:211,245)."""
+        """Per-partition theta estimates over id_col plus the global estimate
+        from their distributed union — the mergeable-partial property the
+        reference calls 'an additive metric in a data cube'
+        (README.md:211,245). Sketch STATES never leave the cluster: the
+        per-pid grouping finalizes to an 8-byte estimate per partition, and
+        the global union merges those same states distributed-side (grand-
+        total group) before finalizing — the driver collects one double per
+        partition + one global row, never a column of sketch blobs."""
         lg_k = self.config.lineage_lg_k
         with_pid = df.select(F.spark_partition_id().alias("pid"), F.xxhash64(id_col).alias("__h"))
 
@@ -98,31 +104,45 @@ class DedupPipeline:
             return _theta.build(pdf["__h"].to_numpy(dtype=np.int64).astype(np.uint64), lg_k)
 
         per_part = sketch_groupby_agg(
-            with_pid.withColumn("__v", F.lit(True)),
+            with_pid,
             ["pid"],
             ["__h"],
             partial_fn=partial,
             merge_fn=lambda s: _theta.union(s, lg_k),
-            finalize_fn=lambda b: {"sketch": b},
-            out_fields=[StructField("sketch", BinaryType())],
+            finalize_fn=lambda b: {"est": _theta.get_estimate(b), "sketch": b},
+            out_fields=[
+                StructField("est", DoubleType()),
+                StructField("sketch", BinaryType()),
+            ],
+        )
+        # tiny frame (#partitions rows); materialize once for two consumers
+        per_part = materialize(per_part)
+        from ..operators.agg import sketch_merge_agg
+
+        global_row = sketch_merge_agg(
+            per_part,
+            [],
+            "sketch",
+            merge_fn=lambda s: _theta.union(s, lg_k),
+            finalize_fn=lambda b: {"est": _theta.get_estimate(b)},
+            out_fields=[StructField("est", DoubleType())],
         ).collect()
-        sketches = [bytes(r["sketch"]) for r in per_part]
-        for r, sk in zip(per_part, sketches):
+        for r in per_part.select("pid", "est").collect():
             self._metrics.append(
                 {
                     "stage": stage,
                     "partition": int(r["pid"]),
                     "metric": "distinct_ids_est",
-                    "value": _theta.get_estimate(sk),
+                    "value": float(r["est"]),
                 }
             )
-        if sketches:
+        if global_row:
             self._metrics.append(
                 {
                     "stage": stage,
                     "partition": -1,
                     "metric": "distinct_ids_est",
-                    "value": _theta.get_estimate(_theta.union(sketches, lg_k)),
+                    "value": float(global_row[0]["est"]),
                 }
             )
 
@@ -245,12 +265,22 @@ class DedupPipeline:
 
     def _distinct_shingles_est(self, signatures: DataFrame) -> float:
         """Theta union over the per-batch shingle partials emitted by the
-        signature stage."""
-        rows = signatures.select("shingle_theta").where(F.col("shingle_theta").isNotNull()).collect()
-        parts = [bytes(r["shingle_theta"]) for r in rows]
-        if not parts:
-            return 0.0
-        return _theta.get_estimate(_theta.union(parts, self.config.lineage_lg_k))
+        signature stage, merged DISTRIBUTED-side (sketch_merge_agg's two-phase
+        protocol): at 10^12 docs the per-Arrow-batch partials number in the
+        millions — collecting the blobs to the driver would be a scale
+        bottleneck; the driver receives exactly one double."""
+        from ..operators.agg import sketch_merge_agg
+
+        lg_k = self.config.lineage_lg_k
+        rows = sketch_merge_agg(
+            signatures.select("shingle_theta").where(F.col("shingle_theta").isNotNull()),
+            [],
+            "shingle_theta",
+            merge_fn=lambda s: _theta.union(s, lg_k),
+            finalize_fn=lambda b: {"est": _theta.get_estimate(b)},
+            out_fields=[StructField("est", DoubleType())],
+        ).collect()
+        return float(rows[0]["est"]) if rows else 0.0
 
 
 def dup_pair_recall(resolved: DataFrame, dup_truth: DataFrame) -> float:

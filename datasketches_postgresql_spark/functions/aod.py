@@ -33,11 +33,10 @@ def aod_sketch_build(
 ) -> DataFrame:
     """Aggregate: aod_sketch_build(anyelement, double[][,lg_k[,p]])
     (sql:89-117); num_values inferred from the array column length."""
-    # NULL key/values rows dropped JVM-side (sfunc-skips-NULL semantics,
-    # same rationale as theta._hash_proj: no null-indicator column)
-    proj = df.where(
-        F.col(key_col).isNotNull() & F.col(values_col).isNotNull()
-    ).select(
+    # NULL key/values rows are dropped in the KERNEL, not by a JVM filter
+    # (which would erase all-NULL groups; the reference's ffunc still emits
+    # a row per group). xxhash64(NULL) == seed 42, the sentinel.
+    proj = df.select(
         *group_cols,
         F.xxhash64(key_col).alias(_H),
         F.col(values_col).cast("array<double>").alias(_VAL),
@@ -46,6 +45,10 @@ def aod_sketch_build(
     def partial(pdf: pd.DataFrame) -> bytes:
         keys = pdf[_H].to_numpy(dtype=np.int64).astype(np.uint64)
         vals_list = pdf[_VAL].to_numpy(dtype=object)
+        keep = (keys != np.uint64(42)) & np.array(
+            [v is not None for v in vals_list], dtype=bool
+        )
+        keys, vals_list = keys[keep], vals_list[keep]
         vals = (
             np.stack([np.asarray(v, dtype=np.float64) for v in vals_list])
             if len(vals_list)

@@ -29,16 +29,25 @@ from ..sketches import kll as _k
 _X = "__x"
 
 
+def _nonnull(col: pd.Series) -> np.ndarray:
+    v = col.to_numpy(dtype=np.float64)
+    return v[~np.isnan(v)]
+
+
 def _build_agg(df, group_cols, col, k, out_col, as_float):
     val = F.col(col).cast("float").cast("double") if as_float else F.col(col).cast("double")
     # NULLs dropped JVM-side (sfunc-skips-NULL semantics; keeps the Arrow
     # projection single-column, see theta._hash_proj)
-    proj = df.where(F.col(col).isNotNull()).select(*group_cols, val.alias(_X))
+    # NULL rows pass through the single-column Arrow projection as NaN and
+    # are dropped in the kernel (sfunc-skips-NULL semantics) — a JVM-side
+    # row filter would erase all-NULL groups, but the reference's ffunc
+    # still emits a row per group (empty sketch)
+    proj = df.select(*group_cols, val.alias(_X))
     return sketch_groupby_agg(
         proj,
         group_cols,
         [_X],
-        partial_fn=lambda pdf: _k.build(pdf[_X].to_numpy(dtype=np.float64), k),
+        partial_fn=lambda pdf: _k.build(_nonnull(pdf[_X]), k),
         merge_fn=lambda states: _k.merge(states, k),
         finalize_fn=lambda b: {out_col: b},
         out_fields=[StructField(out_col, BinaryType())],

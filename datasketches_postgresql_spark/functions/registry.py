@@ -153,9 +153,24 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("aod_sketch_students_t_test", aod_fns._ttest_udf)
     spark.udf.register("aod_sketch_to_string", aod_fns._to_string_udf)
 
-    # -- cpc alias ----------------------------------------------------------------
-    spark.udf.register("cpc_sketch_build", theta_sketch_build)
-    spark.udf.register("cpc_sketch_distinct", theta_sketch_distinct)
-    spark.udf.register("cpc_sketch_union_agg", theta_sketch_union_agg)
-    spark.udf.register("cpc_sketch_get_estimate", theta_fns.theta_sketch_get_estimate)
-    spark.udf.register("cpc_sketch_to_string", theta_fns.theta_sketch_to_string)
+    # -- cpc (real coupon-matrix kernel, sketches.cpc) -----------------------
+    from ..sketches import cpc as _cpc
+    from . import cpc as cpc_fns
+
+    @F.pandas_udf(BinaryType())
+    def cpc_sketch_build(h: pd.Series) -> bytes:  # type: ignore[misc]
+        return _cpc.build(_hashes(h))
+
+    @F.pandas_udf(DoubleType())
+    def cpc_sketch_distinct(h: pd.Series) -> float:  # type: ignore[misc]
+        return _cpc.get_estimate(_cpc.build(_hashes(h)))
+
+    @F.pandas_udf(BinaryType())
+    def cpc_sketch_union_agg(s: pd.Series) -> bytes:  # type: ignore[misc]
+        return _cpc.union([bytes(b) for b in s if b is not None])
+
+    spark.udf.register("cpc_sketch_build", cpc_sketch_build)
+    spark.udf.register("cpc_sketch_distinct", cpc_sketch_distinct)
+    spark.udf.register("cpc_sketch_union_agg", cpc_sketch_union_agg)
+    spark.udf.register("cpc_sketch_get_estimate", cpc_fns.cpc_sketch_get_estimate)
+    spark.udf.register("cpc_sketch_to_string", cpc_fns.cpc_sketch_to_string)

@@ -121,6 +121,31 @@ def sketch_groupby_agg(
     return result.drop("__g") if dummy else result
 
 
+def keep_group_keys(
+    source: DataFrame,
+    group_cols: list[str],
+    result: DataFrame,
+    fill: dict[str, object],
+) -> DataFrame:
+    """Re-attach group keys that vanished because every row in the group was
+    filtered (NULL inputs). PostgreSQL aggregates run ffunc even when sfunc
+    skipped every row, so the reference emits a row per group with an empty
+    sketch (src/theta_sketch_pg_functions.c:78-82 skips NULLs; the FINALFUNC
+    still fires per group) — a plain post-filter groupBy loses those groups.
+    ``fill`` maps output column -> value for the resurrected groups (empty
+    sketch bytes / 0.0 estimate). No-op for global aggregates.
+
+    Scale: the join is keys (one row per group) against the aggregated
+    result (same cardinality) — never the raw rows."""
+    if not group_cols:
+        return result
+    keys = source.select(*group_cols).distinct()
+    out = keys.join(result, list(group_cols), "left")
+    for c, v in fill.items():
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+    return out
+
+
 def sketch_merge_agg(
     df: DataFrame,
     group_cols: list[str],

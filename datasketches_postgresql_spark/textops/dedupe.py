@@ -1,8 +1,9 @@
 """Document-table deduplication operators (training-data pipeline surface):
 
 - exact_dup_groups     hash-groupBy exact dedup (partial-agg friendly)
-- ngram_jaccard_pairs  word n-gram Jaccard between doc pairs, 100% native
-                       array expressions (array_intersect/array_union)
+- ngram_jaccard_pairs  word n-gram Jaccard via inverted-index equi-join
+                       (explode gram hashes -> shared-gram counts), never
+                       an all-pairs join
 - minhash_lsh_pairs    the dedup pipeline's MinHash+LSH+verify stack applied
                        to a (id, text) table
 - simhash_pairs        SimHash-equality / low-Hamming pairing
@@ -17,6 +18,7 @@ from pyspark.sql import functions as F
 from ..dedup.lsh import candidate_edges
 from ..dedup.minhash import signature_stage
 from ..dedup.verify import verify_edges
+from ..plans.materialize import materialize
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -63,20 +65,56 @@ def ngram_jaccard(a: Column, b: Column) -> Column:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 2, pair_filter=None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    pair_filter=None,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """All-pairs word-n-gram Jaccard over (optionally filtered) doc ids:
-    (a, b, jaccard). Pure native expressions end to end."""
+    """Word-n-gram Jaccard pairs via an INVERTED-INDEX join: (a, b, jaccard)
+    for every pair sharing >= 1 gram (zero-overlap pairs are omitted — their
+    Jaccard is 0).
+
+    Scale shape (replaces the former all-pairs formulation, which planned a
+    BroadcastNestedLoopJoin and is O(n^2) rows with full gram arrays on both
+    sides): explode each doc's DISTINCT grams as 8-byte hashes, self-join on
+    the gram hash, count shared grams per (a, b), and compute
+    |A∩B| / (|A| + |B| − |A∩B|) from the per-doc set sizes carried alongside.
+    Shuffle volume is O(total grams) + O(co-occurring pairs), never O(n^2);
+    grams shuffle as xxhash64 longs, not strings.
+
+    ``max_df`` prunes grams appearing in more than max_df docs (boilerplate
+    bigrams both dominate join cost and carry no discrimination). Pruning
+    changes Jaccard denominators, so the default (None) is exact."""
     grams = df.select(
-        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), n).alias("g")
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("g"),
     )
     if pair_filter is not None:
         grams = grams.where(pair_filter(F.col("id")))
-    left = grams.select(F.col("id").alias("a"), F.col("g").alias("ga"))
-    right = grams.select(F.col("id").alias("b"), F.col("g").alias("gb"))
-    return (
-        left.join(right, F.col("a") < F.col("b"))
-        .select("a", "b", F.round(ngram_jaccard(F.col("ga"), F.col("gb")), 6).alias("jaccard"))
+    inv = grams.select(
+        "id", F.size("g").alias("sz"), F.explode("g").alias("gram")
+    ).select("id", "sz", F.xxhash64("gram").alias("gh"))
+    if max_df is not None:
+        keep = (
+            inv.groupBy("gh").agg(F.count("*").alias("df")).where(F.col("df") <= max_df)
+        )
+        inv = inv.join(keep.select("gh"), "gh")
+    left = inv.select(F.col("id").alias("a"), F.col("sz").alias("sa"), "gh")
+    right = inv.select(F.col("id").alias("b"), F.col("sz").alias("sb"), "gh")
+    shared = (
+        left.join(right, "gh")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "sa", "sb")
+        .agg(F.count("*").alias("shared"))
+    )
+    return shared.select(
+        "a",
+        "b",
+        F.round(
+            F.col("shared") / (F.col("sa") + F.col("sb") - F.col("shared")), 6
+        ).alias("jaccard"),
     )
 
 
@@ -96,7 +134,7 @@ def minhash_lsh_pairs(
         F.col(text_col).alias("text"),
     )
     # signatures feed banding once and verification twice: materialize once
-    sigs = signature_stage(pseudo).localCheckpoint()
+    sigs = materialize(signature_stage(pseudo))
     cand = candidate_edges(sigs, mode="pairs")
     return (
         verify_edges(cand, sigs, jaccard_threshold, max_hamming)
@@ -114,7 +152,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
         F.col(id_col).cast("string").alias("url"),
         F.col(text_col).alias("text"),
     )
-    sigs = signature_stage(pseudo).select("doc_id", "simhash").localCheckpoint()
+    sigs = materialize(signature_stage(pseudo).select("doc_id", "simhash"))
     if max_hamming == 0:
         left = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("s"))
         right = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("s"))
@@ -152,17 +190,52 @@ def embedding_neardup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     pair_filter=None,
+    method: str = "lsh",
+    dim: int | None = None,
+    n_planes: int = 6,
+    n_tables: int = 8,
 ) -> DataFrame:
-    """(a, b, cos) pairs with cosine >= threshold. Brute-force quadratic —
-    intended for within-bucket use or sampled audits; the scale path is
-    ann.lsh_bucketed_neighbors."""
+    """(a, b, cos) near-duplicate pairs with cosine >= threshold.
+
+    method="lsh" (default, the scale path): candidate pairs come from a
+    random-hyperplane LSH bucket SELF-join (n_tables independent tables;
+    cost O(corpus x tables / 2^n_planes)), then exact-cosine rescoring —
+    probabilistic recall, tunable via tables/planes (pytest-measured).
+    method="exact": brute-force all-pairs — O(n^2); ONLY for within-bucket
+    use or sampled audits, and the path the exactness oracle runs."""
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     if pair_filter is not None:
         v = v.where(pair_filter(F.col("id")))
-    left = v.select(F.col("id").alias("a"), F.col("v").alias("va"))
-    right = v.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    if method == "exact":
+        left = v.select(F.col("id").alias("a"), F.col("v").alias("va"))
+        right = v.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+        return (
+            left.join(right, F.col("a") < F.col("b"))
+            .select("a", "b", F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cos"))
+            .where(F.col("cos") >= threshold)
+        )
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r} (expected 'lsh' | 'exact')")
+    from .ann import lsh_bucket
+
+    if dim is None:
+        raise ValueError("method='lsh' requires dim (embedding width)")
+    buckets = v.select(
+        "id",
+        "v",
+        F.posexplode(
+            F.array(*[lsh_bucket(F.col("v"), dim, n_planes, seed=11 + t) for t in range(n_tables)])
+        ).alias("table", "bucket"),
+    )
+    left = buckets.select(F.col("id").alias("a"), F.col("v").alias("va"), "table", "bucket")
+    right = buckets.select(F.col("id").alias("b"), F.col("v").alias("vb"), "table", "bucket")
+    cand = (
+        left.join(right, ["table", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb")
+        .distinct()
+    )
     return (
-        left.join(right, F.col("a") < F.col("b"))
-        .select("a", "b", F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cos"))
+        cand.select("a", "b", F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )

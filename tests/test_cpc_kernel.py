@@ -1,0 +1,66 @@
+"""CPC coupon-matrix kernel tests: accuracy class, merge identity,
+sparse/dense wire modes, mixed-lg_k union."""
+
+import numpy as np
+
+from datasketches_postgresql_spark.sketches import cpc as C
+
+
+def _rand(n, seed):
+    return np.random.default_rng(seed).integers(0, 2**64, size=n, dtype=np.uint64)
+
+
+class TestCpcKernel:
+    def test_small_n_near_exact(self):
+        # n << k: coupon count == n whp, ICON inversion is near-exact; by
+        # n=100 cell collisions add ~1.3% RSE, so that case gets 4 sigma
+        for n, tol in ((1, 0.001), (2, 0.01), (10, 0.01), (100, 0.06)):
+            vals = _rand(n, n)
+            est = C.get_estimate(C.build(vals, 11))
+            true = len(np.unique(vals))
+            assert abs(est - true) / true < tol, (n, est)
+
+    def test_rse_at_lg_k_11(self):
+        """Measured MLE RSE must stay in the CPC class (<= ~0.8/sqrt(k) x2
+        margin), not the theta class at the same memory."""
+        errs = []
+        for t in range(10):
+            vals = _rand(200_000, 100 + t)
+            est = C.get_estimate(C.build(vals, 11))
+            true = len(np.unique(vals))
+            errs.append((est - true) / true)
+        rse = float(np.std(errs))
+        assert rse < 2 * 0.8 / np.sqrt(2048), rse
+
+    def test_union_equals_single_build(self):
+        vals = _rand(500_000, 7)
+        parts = [C.build(c, 11) for c in np.array_split(vals, 16)]
+        assert C.get_estimate(C.union(parts)) == C.get_estimate(C.build(vals, 11))
+
+    def test_union_idempotent_and_order_free(self):
+        a, b = C.build(_rand(1000, 1), 11), C.build(_rand(1000, 2), 11)
+        assert C.union([a, b]) == C.union([b, a]) == C.union([a, b, a])
+
+    def test_sparse_dense_roundtrip(self):
+        small = C.build(_rand(50, 3), 11)
+        assert small[2] == 0  # sparse mode
+        big = C.build(_rand(500_000, 3), 11)
+        assert big[2] == 1  # dense mode
+        for sk in (small, big):
+            lg_k, mat = C.deserialize(sk)
+            assert lg_k == 11 and mat.size == 2048
+
+    def test_mixed_lg_k_union_rejected(self):
+        """Columns derive from post-row hash bits, so cross-lg_k folding
+        would silently bias the estimate — the union refuses instead."""
+        vals = _rand(50_000, 9)
+        hi = C.build(vals, 12)
+        lo = C.build(vals, 10)
+        try:
+            C.union([hi, lo])
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+
+    def test_empty(self):
+        assert C.get_estimate(C.build(np.empty(0, dtype=np.uint64), 11)) == 0.0

@@ -64,6 +64,18 @@ class TestPlanQuality:
         assert has_whole_stage_codegen(q)
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
+    def test_ngram_jaccard_no_quadratic_join(self, spark, sf_dir):
+        """The inverted-index formulation must never plan a nested-loop /
+        cartesian join (the former all-pairs shape): grams join equi-style
+        on their hash."""
+        from datasketches_postgresql_spark.textops.dedupe import ngram_jaccard_pairs
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        q = ngram_jaccard_pairs(d, "doc_id", "text", n=2)
+        plan = formatted_plan(q)
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
     def test_lsh_verify_no_python(self, spark):
         """Band hashing + verification are JVM-side: bit_count/zip_with/
         xxhash64, no Python eval nodes."""

@@ -105,4 +105,4 @@ class TestCpcSql:
             "select cpc_sketch_distinct(xxhash64(value)) as e "
             "from values (1),(2),(3),(4),(5),(6),(7),(8) as t(value)"
         ).collect()[0]["e"]
-        assert got == 8.0
+        assert abs(got - 8.0) / 8.0 < 0.02

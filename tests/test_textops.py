@@ -72,7 +72,8 @@ class TestDedupe:
         )
         pairs = {(r["a"], r["b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(df, "id", "text").collect()}
         assert pairs[(1, 2)] == 1.0
-        assert pairs[(1, 3)] == 0.0
+        # inverted-index semantics: zero-overlap pairs are omitted entirely
+        assert (1, 3) not in pairs
 
     def test_minhash_lsh_finds_planted_copies(self, spark, docs):
         base = docs.select("doc_id", "text").where("n_chars > 100")
@@ -99,11 +100,22 @@ class TestDedupe:
     def test_embedding_neardup_self_pairs(self, spark, embs):
         shifted = embs.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
         both = embs.select("vec_id", "embedding").union(shifted).where("vec_id % 25 = 0 or vec_id % 25 = 10000 % 25")
-        pairs = D.embedding_neardup_pairs(both, "vec_id", "embedding", threshold=0.999999)
+        # default LSH-bucketed path: identical vectors always share every
+        # bucket, so recall on exact copies is 1.0 by construction
+        pairs = D.embedding_neardup_pairs(
+            both, "vec_id", "embedding", threshold=0.999999, dim=64
+        )
         found = {(r["a"], r["b"]) for r in pairs.collect()}
         base_ids = {r["vec_id"] for r in embs.where("vec_id % 25 = 0").collect()}
         for i in base_ids:
             assert (i, i + 10_000) in found
+        # exact audit path agrees on the same planted pairs
+        exact = D.embedding_neardup_pairs(
+            both, "vec_id", "embedding", threshold=0.999999, method="exact"
+        )
+        assert {(r["a"], r["b"]) for r in exact.collect()} >= {
+            (i, i + 10_000) for i in base_ids
+        }
 
 
 class TestAnn:

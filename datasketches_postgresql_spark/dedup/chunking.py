@@ -181,17 +181,24 @@ def substring_candidates(
     Star edges per chunk bucket (O(bucket)); buckets larger than
     ``max_bucket`` (mass boilerplate) are dropped — they represent content
     shared by hundreds of documents, which the near-dup LSH layer already
-    handles; the cap is a documented precision/size guard."""
-    # the chunk stage is a Python mapInPandas consumed by two plans (bucket
-    # agg + join-back) and the joined frame by three more — localCheckpoint
-    # both so the chunking runs ONCE (multi-consumer idiom, see lsh.py)
-    ch = materialize(chunk_stage(extracted, divisor, min_chunk))
-    buckets = (
-        ch.groupBy("chunk_hash")
-        .agg(F.min("doc_id").alias("root"), F.count("*").alias("cnt"))
+    handles; the cap is a documented precision/size guard.
+
+    Bucket stats come from ONE window shuffle over the exploded chunk rows
+    (count/min per chunk_hash), mirroring lsh.candidate_edges — the former
+    groupBy + join-back shape shuffled the exploded frame twice and needed
+    a second materialization barrier, which showed up as a non-scaling
+    fixed cost at every parallelism level."""
+    from pyspark.sql import Window
+
+    ch = chunk_stage(extracted, divisor, min_chunk)
+    w = Window.partitionBy("chunk_hash")
+    chj = (
+        ch.withColumn("cnt", F.count("*").over(w))
+        .withColumn("root", F.min("doc_id").over(w))
         .where((F.col("cnt") > 1) & (F.col("cnt") <= max_bucket))
     )
-    chj = materialize(ch.join(buckets, "chunk_hash"))
+    # one materialization for the two consumers below (pairs + star)
+    chj = materialize(chj)
     # all pairs for small buckets (each pair gets its own SA verification —
     # a star hub failing verification must never disconnect a true pair);
     # star edges keep big buckets O(bucket)

@@ -1,8 +1,9 @@
 """LSH banding -> candidate edges, JVM-side end to end.
 
 Banding: the (num_perm) signature splits into ``bands`` bands of ``rows``
-rows; a band's hash is xxhash64 over its slice. Docs sharing any
-(band, band_hash) bucket become candidates.
+rows; a band's hash is xxhash64 over its slice. Docs sharing any band-hash bucket become candidates (the band index is
+salted INTO the hash at the signature stage, so the 8-byte hash alone is
+the bucket key — one less shuffle column).
 
 Scale design (the part that must survive 100 TB):
 - band hashes are computed with built-in expressions (slice + xxhash64) and
@@ -31,7 +32,7 @@ DEFAULT_ROWS = 4
 
 
 def band_hashes(signatures: DataFrame, bands: int = DEFAULT_BANDS, rows: int = DEFAULT_ROWS) -> DataFrame:
-    """(doc_id, ...) -> (doc_id, sig_hash, band, band_hash).
+    """(doc_id, ...) -> (doc_id, sig_hash, band_hash).
 
     Uses the band_hashes/sig_hash columns PRECOMPUTED by the signature stage
     (numpy-vectorized there; the JVM slice+xxhash64 formulation costs
@@ -51,15 +52,18 @@ def band_hashes(signatures: DataFrame, bands: int = DEFAULT_BANDS, rows: int = D
             return signatures.select(
                 "doc_id",
                 "sig_hash",
-                F.posexplode("band_hashes").alias("band", "band_hash"),
+                F.explode("band_hashes").alias("band_hash"),
             )
     band_arr = F.array(
-        *[F.xxhash64(F.slice("minhash", i * rows + 1, rows)) for i in range(bands)]
+        *[
+            F.xxhash64(F.lit(i + 1), F.slice("minhash", i * rows + 1, rows))
+            for i in range(bands)
+        ]
     )
     return signatures.select(
         "doc_id",
         F.xxhash64("minhash").alias("sig_hash"),
-        F.posexplode(band_arr).alias("band", "band_hash"),
+        F.explode(band_arr).alias("band_hash"),
     )
 
 
@@ -100,7 +104,7 @@ def candidate_edges(
         # choose that for adversarially-skewed inputs.
         from pyspark.sql import Window
 
-        w = Window.partitionBy("band", "band_hash")
+        w = Window.partitionBy("band_hash")
         bhj = (
             bh.withColumn("cnt", F.count("*").over(w))
             .withColumn("root", F.min("doc_id").over(w))
@@ -108,11 +112,11 @@ def candidate_edges(
         )
     else:
         buckets = (
-            bh.groupBy("band", "band_hash")
+            bh.groupBy("band_hash")
             .agg(F.min("doc_id").alias("root"), F.count("*").alias("cnt"))
             .where(F.col("cnt") > 1)
         )
-        bhj = bh.join(buckets, ["band", "band_hash"])
+        bhj = bh.join(buckets, "band_hash")
     # bhj feeds THREE consumers (small-bucket pairs x2 sides, big-bucket
     # sub-grouping); without materialization each consumer re-runs the
     # explode + bucket stats (measured 50s -> 8s on a 53k-doc corpus).
@@ -121,20 +125,20 @@ def candidate_edges(
     # only bucket members (cnt > 1), a small fraction of the banded rows.
     bhj = materialize(bhj)
 
-    small = bhj.where(F.col("cnt") <= max_pair_bucket).select("band", "band_hash", "doc_id")
+    small = bhj.where(F.col("cnt") <= max_pair_bucket).select("band_hash", "doc_id")
     pairs = (
         small.alias("l")
-        .join(small.alias("r"), ["band", "band_hash"])
+        .join(small.alias("r"), "band_hash")
         .where(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
     )
 
     big = bhj.where(F.col("cnt") > max_pair_bucket)
-    sub = big.groupBy("band", "band_hash", "sig_hash").agg(
+    sub = big.groupBy("band_hash", "sig_hash").agg(
         F.min("doc_id").alias("sm"), F.min("root").alias("root")
     )
     within_sub = (
-        big.join(sub.select("band", "band_hash", "sig_hash", "sm"), ["band", "band_hash", "sig_hash"])
+        big.join(sub.select("band_hash", "sig_hash", "sm"), ["band_hash", "sig_hash"])
         .where(F.col("doc_id") != F.col("sm"))
         .select(F.col("sm").alias("a"), F.col("doc_id").alias("b"))
     )

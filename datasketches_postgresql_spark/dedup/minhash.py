@@ -225,10 +225,16 @@ SIGNATURE_SCHEMA = signature_schema()
 
 def band_hash_matrix(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
     """(n_docs, bands) int64 band hashes: polynomial over each band's rows,
-    splitmix-finalized. Vectorized over the whole signature matrix."""
+    SEEDED WITH THE BAND INDEX and splitmix-finalized. The band index baked
+    into the hash makes the hash alone a valid bucket key — the LSH layer
+    then shuffles/windows on one 8-byte column instead of (band, band_hash),
+    cutting the banded shuffle's bytes and sort-key width. Vectorized over
+    the whole signature matrix."""
     n = sig.shape[0]
     view = sig.reshape(n, bands, rows)
-    acc = np.zeros((n, bands), dtype=np.uint64)
+    acc = np.broadcast_to(
+        np.arange(1, bands + 1, dtype=np.uint64)[None, :], (n, bands)
+    ).copy()
     with np.errstate(over="ignore"):
         for r in range(rows):
             acc *= np.uint64(0x100000001B3)

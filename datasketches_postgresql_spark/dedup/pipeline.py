@@ -88,63 +88,96 @@ class DedupPipeline:
         self.stage_seconds: dict[str, float] = {}
 
     # -- lineage metrics -----------------------------------------------------
-    def _partition_lineage(self, df: DataFrame, stage: str, id_col: str = "doc_id") -> None:
-        """Per-partition theta estimates over id_col plus the global estimate
-        from their distributed union — the mergeable-partial property the
-        reference calls 'an additive metric in a data cube'
-        (README.md:211,245). Sketch STATES never leave the cluster: the
-        per-pid grouping finalizes to an 8-byte estimate per partition, and
-        the global union merges those same states distributed-side (grand-
-        total group) before finalizing — the driver collects one double per
-        partition + one global row, never a column of sketch blobs."""
+    def _lineage_pass(self, signatures: DataFrame) -> None:
+        """ONE Spark job computes every lineage metric: per-partition theta
+        estimates over doc_id, their global union, and the union of the
+        signature stage's per-batch shingle-theta partials. Map side emits
+        one row per partition (pid, est, doc sketch, shingle sketch); a
+        single tiny shuffle merges them — sketch states merge distributed-
+        side and the driver receives exactly one row (per-pid estimates
+        ride along as an array of 12-byte structs). Replaces a 4-5-job
+        formulation whose per-job scheduling latency dominated small-SF
+        runs and capped scaling efficiency."""
         lg_k = self.config.lineage_lg_k
-        with_pid = df.select(F.spark_partition_id().alias("pid"), F.xxhash64(id_col).alias("__h"))
-
-        def partial(pdf: pd.DataFrame) -> bytes:
-            return _theta.build(pdf["__h"].to_numpy(dtype=np.int64).astype(np.uint64), lg_k)
-
-        per_part = sketch_groupby_agg(
-            with_pid,
-            ["pid"],
-            ["__h"],
-            partial_fn=partial,
-            merge_fn=lambda s: _theta.union(s, lg_k),
-            finalize_fn=lambda b: {"est": _theta.get_estimate(b), "sketch": b},
-            out_fields=[
-                StructField("est", DoubleType()),
-                StructField("sketch", BinaryType()),
-            ],
+        proj = signatures.select(
+            F.spark_partition_id().alias("pid"),
+            F.xxhash64("doc_id").alias("__h"),
+            "shingle_theta",
         )
-        # tiny frame (#partitions rows); materialize once for two consumers
-        per_part = materialize(per_part)
-        from ..operators.agg import sketch_merge_agg
 
-        global_row = sketch_merge_agg(
-            per_part,
-            [],
-            "sketch",
-            merge_fn=lambda s: _theta.union(s, lg_k),
-            finalize_fn=lambda b: {"est": _theta.get_estimate(b)},
-            out_fields=[StructField("est", DoubleType())],
-        ).collect()
-        for r in per_part.select("pid", "est").collect():
-            self._metrics.append(
+        def partials(batches):
+            pid = -1
+            hashes: list[np.ndarray] = []
+            shingle_parts: list[bytes] = []
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pid = int(pdf["pid"].iloc[0])
+                hashes.append(pdf["__h"].to_numpy(dtype=np.int64).astype(np.uint64))
+                shingle_parts.extend(
+                    bytes(b) for b in pdf["shingle_theta"] if b is not None
+                )
+            if pid < 0:
+                return
+            doc_sk = _theta.build(np.concatenate(hashes), lg_k)
+            sh_sk = _theta.union(shingle_parts, lg_k) if shingle_parts else None
+            yield pd.DataFrame(
                 {
-                    "stage": stage,
-                    "partition": int(r["pid"]),
-                    "metric": "distinct_ids_est",
-                    "value": float(r["est"]),
+                    "pid": [pid],
+                    "est": [_theta.get_estimate(doc_sk)],
+                    "doc_sk": [doc_sk],
+                    "sh_sk": [sh_sk],
                 }
             )
-        if global_row:
-            self._metrics.append(
+
+        part_schema = (
+            "pid int, est double, doc_sk binary, sh_sk binary"
+        )
+
+        def merge_all(pdf: pd.DataFrame) -> pd.DataFrame:
+            doc_global = _theta.union([bytes(b) for b in pdf["doc_sk"] if b is not None], lg_k)
+            sh = [bytes(b) for b in pdf["sh_sk"] if b is not None]
+            return pd.DataFrame(
                 {
-                    "stage": stage,
-                    "partition": -1,
-                    "metric": "distinct_ids_est",
-                    "value": float(global_row[0]["est"]),
+                    "doc_est": [_theta.get_estimate(doc_global)],
+                    "shingle_est": [_theta.get_estimate(_theta.union(sh, lg_k)) if sh else 0.0],
+                    "per_pid": [
+                        [
+                            {"pid": int(p), "est": float(e)}
+                            for p, e in zip(pdf["pid"], pdf["est"])
+                        ]
+                    ],
                 }
             )
+
+        out_schema = (
+            "doc_est double, shingle_est double, "
+            "per_pid array<struct<pid:int,est:double>>"
+        )
+        row = (
+            proj.mapInPandas(partials, schema=part_schema)
+            .withColumn("__g", F.lit(1))
+            .groupBy("__g")
+            .applyInPandas(lambda pdf: merge_all(pdf), schema=out_schema)
+            .collect()
+        )
+        if not row:
+            return
+        r = row[0]
+        for pp in r["per_pid"]:
+            self._metrics.append(
+                {
+                    "stage": "extracted",
+                    "partition": int(pp["pid"]),
+                    "metric": "distinct_ids_est",
+                    "value": float(pp["est"]),
+                }
+            )
+        self._metrics.append(
+            {"stage": "extracted", "partition": -1, "metric": "distinct_ids_est",
+             "value": float(r["doc_est"])}
+        )
+        self._metric("signatures", "distinct_shingles_est", float(r["shingle_est"]))
 
     def _metric(self, stage: str, metric: str, value: float, partition: int = -1) -> None:
         self._metrics.append(
@@ -181,7 +214,6 @@ class DedupPipeline:
             pages = pages.repartition(cfg.ingest_partitions, F.xxhash64("url"))
 
         extracted = self._stage("extracted", lambda: extract_stage(pages), resume)
-        self._partition_lineage(extracted, "extracted")
         self._metric("extracted", "rows", self._rows("extracted"))
 
         signatures = self._stage(
@@ -196,8 +228,7 @@ class DedupPipeline:
             ),
             resume,
         )
-        shingle_theta = self._distinct_shingles_est(signatures)
-        self._metric("signatures", "distinct_shingles_est", shingle_theta)
+        self._lineage_pass(signatures)
         self._metric("signatures", "rows", self._rows("signatures"))
 
         candidates = self._stage(
@@ -262,26 +293,6 @@ class DedupPipeline:
             "resolved": resolved,
             "metrics": metrics,
         }
-
-    def _distinct_shingles_est(self, signatures: DataFrame) -> float:
-        """Theta union over the per-batch shingle partials emitted by the
-        signature stage, merged DISTRIBUTED-side (sketch_merge_agg's two-phase
-        protocol): at 10^12 docs the per-Arrow-batch partials number in the
-        millions — collecting the blobs to the driver would be a scale
-        bottleneck; the driver receives exactly one double."""
-        from ..operators.agg import sketch_merge_agg
-
-        lg_k = self.config.lineage_lg_k
-        rows = sketch_merge_agg(
-            signatures.select("shingle_theta").where(F.col("shingle_theta").isNotNull()),
-            [],
-            "shingle_theta",
-            merge_fn=lambda s: _theta.union(s, lg_k),
-            finalize_fn=lambda b: {"est": _theta.get_estimate(b)},
-            out_fields=[StructField("est", DoubleType())],
-        ).collect()
-        return float(rows[0]["est"]) if rows else 0.0
-
 
 def dup_pair_recall(resolved: DataFrame, dup_truth: DataFrame) -> float:
     """Fraction of planted duplicate pairs whose two urls share a cluster —

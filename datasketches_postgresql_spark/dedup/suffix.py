@@ -178,13 +178,16 @@ def sa_verify_pairs(
 
     Implementation: per-pair L-gram rolling-hash set intersection (see
     lgram_hashes) instead of a per-hub suffix array — O(len) per doc vs
-    O(len log^2 len) per group, mapInPandas instead of a groupBy shuffle,
-    and the pair checks vectorize across the whole Arrow batch (one lexsort
-    over stacked (pair, hash, side) keys; a (pair, hash) present on both
-    sides == a shared window). The suffix-array layer remains the engine of
-    the host-grouped containment mode (containment_edges below).
-    ``max_group_chars`` is retained for signature compatibility; the O(len)
-    path needs no group budget."""
+    O(len log^2 len) per group, mapInPandas instead of a groupBy shuffle.
+    Each doc in a batch is hashed ONCE (dict-memoized) and each pair checks
+    overlap with one searchsorted of the smaller sorted set into the larger
+    (O(min log max) per pair, touching only the two per-doc sets) — an
+    earlier formulation that stacked every pair's copies of both hash sets
+    into one array for a global lexsort moved ~50x more bytes and its
+    bandwidth-bound sort flatlined multi-core scaling. The suffix-array
+    layer remains the engine of the host-grouped containment mode
+    (containment_edges below). ``max_group_chars`` is retained for
+    signature compatibility; the O(len) path needs no group budget."""
     ta = extracted.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
     tb = extracted.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
     joined = candidates.join(ta, "a").join(tb, "b").select("a", "b", "text_a", "text_b")
@@ -203,30 +206,21 @@ def sa_verify_pairs(
             ):
                 if int(did) not in hmap:
                     hmap[int(did)] = lgram_hashes(txt, L)
-            npairs = len(pdf)
-            la = np.array([hmap[int(i)].size for i in a_ids], dtype=np.int64)
-            lb = np.array([hmap[int(i)].size for i in b_ids], dtype=np.int64)
-            pair_key = np.concatenate(
-                [
-                    np.repeat(np.arange(npairs, dtype=np.int64), la),
-                    np.repeat(np.arange(npairs, dtype=np.int64), lb),
-                ]
-            )
-            hashes = np.concatenate(
-                [hmap[int(i)] for i in a_ids] + [hmap[int(i)] for i in b_ids]
-            ) if pair_key.size else np.empty(0, dtype=np.uint64)
-            side = np.concatenate(
-                [np.zeros(int(la.sum()), dtype=np.int8), np.ones(int(lb.sum()), dtype=np.int8)]
-            )
-            if pair_key.size == 0:
+            hits = []
+            for i in range(len(pdf)):
+                ha, hb = hmap[int(a_ids[i])], hmap[int(b_ids[i])]
+                if ha.size == 0 or hb.size == 0:
+                    continue
+                if ha.size > hb.size:
+                    ha, hb = hb, ha
+                idx = np.searchsorted(hb, ha)
+                idx[idx == hb.size] = hb.size - 1
+                if np.any(hb[idx] == ha):
+                    hits.append(i)
+            if not hits:
                 continue
-            order = np.lexsort((side, hashes, pair_key))
-            pk, hs, sd = pair_key[order], hashes[order], side[order]
-            hit = (pk[:-1] == pk[1:]) & (hs[:-1] == hs[1:]) & (sd[:-1] == 0) & (sd[1:] == 1)
-            hit_pairs = np.unique(pk[:-1][hit])
-            if hit_pairs.size == 0:
-                continue
-            yield pd.DataFrame({"a": a_ids[hit_pairs], "b": b_ids[hit_pairs]})
+            hit_idx = np.array(hits, dtype=np.int64)
+            yield pd.DataFrame({"a": a_ids[hit_idx], "b": b_ids[hit_idx]})
 
     return joined.mapInPandas(run, schema=CONTAIN_SCHEMA).distinct()
 

@@ -3,10 +3,13 @@ bridged to Spark's NATIVE DataSketches-compatible HLL functions
 (hll_sketch_agg / hll_union_agg / hll_sketch_estimate / hll_union, JVM-side,
 whole-stage-codegen friendly — zero Python in the hot path).
 
-Divergence note (documented, SURVEY.md §2.1): the reference accepts
-tgt_type in {HLL_4, HLL_6, HLL_8} (src/hll_sketch_pg_functions.c:94-99);
-Spark's native implementation always emits HLL_8 images. The parameter is
-accepted and validated for API parity; the sketch image is HLL_8.
+tgt_type handling (src/hll_sketch_pg_functions.c:94-99): HLL_8 (and the
+default) goes through the Spark-native path and emits DataSketches
+HLL_8-compatible images. HLL_4 / HLL_6 route through the numpy HLL kernel
+(sketches.hll) and emit genuinely narrow images — 4/6-bit packed registers
+(HLL_4 with a base-offset + exception list, so narrow packing adds no
+estimation bias). Scalar functions take the same ``tgt_type`` to pick the
+image decoder.
 """
 
 from __future__ import annotations
@@ -17,15 +20,53 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType, StringType
+from pyspark.sql.types import ArrayType, BinaryType, DoubleType, StringType, StructField
+
+from ..operators.agg import sketch_groupby_agg, sketch_merge_agg
+from ..sketches import hll as _h
 
 DEFAULT_LG_K = 12  # src/hll_sketch_pg_functions.c:38
 _VALID_TGT = {"HLL_4", "HLL_6", "HLL_8", 4, 6, 8}
+_H = "__h"
 
 
-def _check_tgt(tgt_type) -> None:
-    if tgt_type is not None and tgt_type not in _VALID_TGT:
+def _check_tgt(tgt_type) -> int | None:
+    """-> register width (4/6/8) or None for the default (native HLL_8)."""
+    if tgt_type is None:
+        return None
+    if tgt_type not in _VALID_TGT:
         raise ValueError(f"invalid tgt_type {tgt_type}; must be HLL_4/HLL_6/HLL_8")
+    return int(str(tgt_type).removeprefix("HLL_"))
+
+
+def _is_custom(tgt_type) -> bool:
+    return _check_tgt(tgt_type) in (4, 6)
+
+
+def _custom_build(df, group_cols, col, lg_k, width, out_col, estimate_only=False):
+    # NULLs survive as the xxhash64 seed sentinel (42) and are dropped in the
+    # kernel, keeping all-NULL groups alive (see theta._hash_proj)
+    proj = df.select(*group_cols, F.xxhash64(col).alias(_H))
+
+    def hashed(pdf: pd.DataFrame) -> np.ndarray:
+        h = pdf[_H].to_numpy(dtype=np.int64).astype(np.uint64)
+        return h[h != np.uint64(42)]
+
+    if estimate_only:
+        fin = lambda b: {out_col: _h.get_estimate(b)}  # noqa: E731
+        fields = [StructField(out_col, DoubleType())]
+    else:
+        fin = lambda b: {out_col: b}  # noqa: E731
+        fields = [StructField(out_col, BinaryType())]
+    return sketch_groupby_agg(
+        proj,
+        group_cols,
+        [_H],
+        partial_fn=lambda pdf: _h.build(hashed(pdf), lg_k, width),
+        merge_fn=lambda states: _h.union(states, width),
+        finalize_fn=fin,
+        out_fields=fields,
+    )
 
 
 def hll_sketch_build(
@@ -37,9 +78,12 @@ def hll_sketch_build(
     out_col: str = "sketch",
 ) -> DataFrame:
     """Aggregate: hll_sketch_build(anyelement[,lg_k[,tgt_type]]) (sql:101-129).
-    Catalyst plans partial+final aggregation automatically (the reference's
-    COMBINEFUNC, for free)."""
-    _check_tgt(tgt_type)
+    Default/HLL_8: Spark-native (Catalyst plans partial+final aggregation —
+    the reference's COMBINEFUNC, for free). HLL_4/HLL_6: numpy kernel with
+    narrow packed images."""
+    width = _check_tgt(tgt_type)
+    if width in (4, 6):
+        return _custom_build(df, group_cols, col, lg_k, width, out_col)
     grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
     return grouped.agg(F.hll_sketch_agg(col, F.lit(lg_k)).alias(out_col))
 
@@ -69,20 +113,49 @@ def hll_sketch_union_agg(
     out_col: str = "sketch",
 ) -> DataFrame:
     """Aggregate: hll_sketch_union(hll_sketch[,lg_k[,tgt_type]]) (sql:131-159)."""
-    _check_tgt(tgt_type)
+    width = _check_tgt(tgt_type)
+    if width in (4, 6):
+        return sketch_merge_agg(
+            df,
+            group_cols,
+            sketch_col,
+            merge_fn=lambda states: _h.union(states, width),
+            finalize_fn=lambda b: {out_col: b},
+            out_fields=[StructField(out_col, BinaryType())],
+        )
     grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
     return grouped.agg(
         F.hll_union_agg(sketch_col, F.lit(True)).alias(out_col)
     )
 
 
-def hll_sketch_union(a: Column, b: Column) -> Column:
+@F.pandas_udf(BinaryType())
+def _custom_union_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            _h.union([bytes(x) for x in (xa, xb) if x is not None])
+            for xa, xb in zip(a, b)
+        ],
+        dtype=object,
+    )
+
+
+def hll_sketch_union(a: Column, b: Column, tgt_type=None) -> Column:
     """Pairwise union (sql:177-187)."""
+    if _is_custom(tgt_type):
+        return _custom_union_pair(a, b)
     return F.hll_union(a, b, True)
 
 
-def hll_sketch_get_estimate(sketch) -> Column:
+@F.pandas_udf(DoubleType())
+def _custom_estimate(s: pd.Series) -> pd.Series:
+    return pd.Series([np.nan if b is None else _h.get_estimate(bytes(b)) for b in s])
+
+
+def hll_sketch_get_estimate(sketch, tgt_type=None) -> Column:
     """hll_sketch_get_estimate(sketch) -> double (sql:161-163)."""
+    if _is_custom(tgt_type):
+        return _custom_estimate(sketch)
     return F.hll_sketch_estimate(sketch).cast("double")
 
 

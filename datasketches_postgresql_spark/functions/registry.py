@@ -102,6 +102,35 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("kll_float_sketch_get_max_item", kll_fns._max_udf)
     spark.udf.register("kll_float_sketch_to_string", kll_fns.kll_sketch_to_string)
 
+    # -- req (real relative-compactor kernel, sketches.req) ------------------
+    from ..sketches import req as _req
+    from . import req as req_fns
+
+    @F.pandas_udf(BinaryType())
+    def req_float_sketch_build(v: pd.Series, k: pd.Series) -> bytes:  # type: ignore[misc]
+        return _req.build(v.dropna().to_numpy(dtype=np.float32), int(k.iloc[0]))
+
+    @F.pandas_udf(BinaryType())
+    def req_float_sketch_merge(s: pd.Series) -> bytes:  # type: ignore[misc]
+        return _req.merge([bytes(b) for b in s if b is not None])
+
+    spark.udf.register("req_float_sketch_build", req_float_sketch_build)
+    spark.udf.register("req_float_sketch_merge", req_float_sketch_merge)
+    spark.udf.register("req_float_sketch_get_quantile", req_fns._quantile_udf)
+    spark.udf.register("req_float_sketch_get_quantiles", req_fns._quantiles_udf)
+    spark.udf.register("req_float_sketch_get_rank", req_fns._rank_udf)
+    spark.udf.register("req_float_sketch_get_pmf", req_fns._pmf_udf)
+    spark.udf.register("req_float_sketch_get_cdf", req_fns._cdf_udf)
+    spark.udf.register("req_float_sketch_get_histogram", req_fns._hist_udf)
+    spark.udf.register("req_float_sketch_get_n", req_fns._n_udf)
+    spark.udf.register("req_float_sketch_get_min_item", req_fns._min_udf)
+    spark.udf.register("req_float_sketch_get_max_item", req_fns._max_udf)
+    spark.udf.register("req_float_sketch_to_string", req_fns.req_float_sketch_to_string)
+
+    # -- theta <-> DataSketches wire format ----------------------------------
+    spark.udf.register("theta_sketch_to_datasketches", theta_fns.theta_sketch_to_datasketches)
+    spark.udf.register("theta_sketch_from_datasketches", theta_fns.theta_sketch_from_datasketches)
+
     # -- frequent strings ------------------------------------------------------
     @F.pandas_udf(BinaryType())
     def frequent_strings_sketch_build(lg_k: pd.Series, s: pd.Series) -> bytes:  # type: ignore[misc]

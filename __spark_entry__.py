@@ -270,6 +270,68 @@ def q_theta_to_string(spark, sf_dir):
     return sk.select(TH.theta_sketch_to_string(F.col("sketch")).alias("summary"))
 
 
+def q_theta_wire_roundtrip(spark, sf_dir):
+    """DataSketches wire-format interop gate: build in the murmur3/9001
+    hash space (theta_sketch_build_compat), serialize to the CANONICAL
+    compact theta v3 image, re-import, and estimate — exact regime, so the
+    round trip must reproduce count(DISTINCT) precisely. Also asserts the
+    image preamble (serial version 3, family COMPACT=3)."""
+    ev = _ev(spark, sf_dir)
+    sk = TH.theta_sketch_build_compat(ev, ["event_type"], "user_id")
+    wire = sk.select(
+        "event_type", TH.theta_sketch_to_datasketches(F.col("sketch")).alias("img")
+    )
+    back = wire.select(
+        "event_type",
+        F.conv(F.hex(F.substring("img", 2, 1)), 16, 10).cast("int").alias("serial_version"),
+        F.conv(F.hex(F.substring("img", 3, 1)), 16, 10).cast("int").alias("family"),
+        TH.theta_sketch_from_datasketches(F.col("img")).alias("sketch"),
+    )
+    return back.select(
+        "event_type",
+        "serial_version",
+        "family",
+        TH.theta_sketch_get_estimate("sketch").cast("bigint").alias("distinct_users"),
+    )
+
+
+def q_hll_tgt4_distinct(spark, sf_dir):
+    """HLL_4 target type: genuinely 4-bit-packed images from the numpy HLL
+    kernel; exact regime (few langs per source) -> estimates round to the
+    exact distinct counts, and the image header carries width 4."""
+    sk = HLL.hll_sketch_build(_docs(spark, sf_dir), ["source"], "lang", tgt_type="HLL_4")
+    return sk.select(
+        "source",
+        F.conv(F.hex(F.substring("sketch", 3, 1)), 16, 10).cast("int").alias("reg_width"),
+        F.round(HLL.hll_sketch_get_estimate(F.col("sketch"), tgt_type=4))
+        .cast("bigint")
+        .alias("n_langs"),
+    )
+
+
+def q_req_tail_accuracy(spark, sf_dir):
+    """REQ estimation-regime gate (the property the round-1 KLL alias could
+    not have): k=4 HRA sketch over 10k values IS compacted, yet the rank
+    estimate at the 0.99-quantile value must stay within 10% RELATIVE to
+    the tail (|est - true| <= 0.1 * (1 - true)). The oracle is the
+    constant-true row; exact-regime behavior is covered by
+    req_rank_inclusive."""
+    ev = _ev(spark, sf_dir).select(F.col("value").cast("double").alias("v"))
+    q99 = ev.agg(F.expr("percentile(v, 0.99)").alias("q")).collect()[0]["q"]
+    true_rank = ev.agg(F.avg((F.col("v") < q99).cast("double")).alias("r")).collect()[0]["r"]
+    sk = REQ.req_float_sketch_build(_ev(spark, sf_dir), [], "value", k=4, hra=True)
+    est = sk.select(
+        REQ.req_float_sketch_get_rank(F.col("sketch"), float(q99)).alias("r"),
+        REQ.req_float_sketch_get_n(F.col("sketch")).alias("n"),
+    )
+    return est.select(
+        (F.abs(F.col("r") - F.lit(true_rank)) <= 0.1 * (1.0 - true_rank))
+        .cast("int")
+        .alias("tail_within_10pct"),
+        "n",
+    )
+
+
 def q_hll_pair_union(spark, sf_dir):
     """Pairwise hll_sketch_union (sql/datasketches_hll_sketch.sql:177-187)
     over two stored sketches."""
@@ -644,6 +706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_float_quantile": q_kll_float_quantile,
         "theta_intersection_reaggregate": q_theta_intersection_reaggregate,
         "theta_to_string": q_theta_to_string,
+        "theta_wire_roundtrip": q_theta_wire_roundtrip,
+        "hll_tgt4_distinct": q_hll_tgt4_distinct,
+        "req_tail_accuracy": q_req_tail_accuracy,
         "hll_pair_union": q_hll_pair_union,
         "hll_bounds_exact": q_hll_bounds_exact,
         "fi_to_string": q_fi_to_string,
@@ -803,6 +868,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id FROM events GROUP BY user_id
               HAVING count(DISTINCT event_type) =
                      (SELECT count(DISTINCT event_type) FROM events))
+        """,
+        "theta_wire_roundtrip": """
+            SELECT event_type, 3 AS serial_version, 3 AS family,
+                   count(DISTINCT user_id) AS distinct_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "hll_tgt4_distinct": """
+            SELECT source, 4 AS reg_width, count(DISTINCT lang) AS n_langs
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "req_tail_accuracy": """
+            SELECT 1 AS tail_within_10pct, count(*) AS n FROM events
         """,
         "theta_to_string": """
             SELECT concat(

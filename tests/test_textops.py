@@ -192,3 +192,30 @@ class TestStreaming:
         q.awaitTermination(60)
         got = spark.sql("select url from dedup_test").collect()
         assert sorted(r["url"] for r in got) == ["u1", "u2"]
+
+
+class TestStreamingMetricsSink:
+    def test_foreach_batch_sink_distributed(self, spark, tmp_path):
+        """The sink must fold each micro-batch distributed-side (two-phase
+        envelope merge, no driver collect of batch rows) and append one
+        mergeable lineage row; invoking the foreachBatch fn on a static
+        frame is exactly what Structured Streaming does per micro-batch."""
+        from datasketches_postgresql_spark.sketches import theta as _t
+        from datasketches_postgresql_spark.streaming.stream import (
+            sketch_metrics_foreach_batch,
+        )
+
+        path = str(tmp_path / "metrics")
+        fn = sketch_metrics_foreach_batch(path, "id", value_col="v")
+        batch = spark.range(1000).select(
+            F.col("id"), (F.col("id") % 100).cast("double").alias("v")
+        )
+        fn(batch, 0)
+        fn(batch.where("id < 500"), 1)
+        rows = {r["batch_id"]: r for r in spark.read.parquet(path).collect()}
+        assert rows[0]["rows"] == 1000 and rows[1]["rows"] == 500
+        assert rows[0]["distinct_est"] == 1000.0
+        assert abs(rows[0]["median_est"] - 49.0) <= 1.0
+        # mergeability across batches: union of stored sketches == union set
+        merged = _t.union([bytes(rows[0]["theta_sketch"]), bytes(rows[1]["theta_sketch"])])
+        assert _t.get_estimate(merged) == 1000.0

@@ -90,10 +90,12 @@ def candidate_edges(
     100 TB guarantee — while making pair loss impossible for
     signature-identical dups and cap^2-bounded otherwise.
 
-    mode="pairs" with a large max_pair_bucket gives direct pair semantics
-    for the standalone near-dup-pairs operator."""
-    if mode == "pairs":
-        max_pair_bucket = max(max_pair_bucket, 1000)
+    mode="pairs" gives direct pair semantics for the standalone
+    near-dup-pairs operator; its ``max_pair_bucket`` is the caller's
+    explicit O(cap^2) blast-radius budget (see
+    textops.dedupe.minhash_lsh_pairs)."""
+    if mode == "pairs" and max_pair_bucket == 32:
+        max_pair_bucket = 1000  # pair-listing default when caller kept the hybrid default
     bh = band_hashes(signatures, bands, rows)
     if bucket_stats == "window":
         # ONE shuffle: bucket count/min as window aggregates over

@@ -227,3 +227,24 @@ def kll_sketch_get_min_item(sketch: Column) -> Column:
 
 def kll_sketch_get_max_item(sketch: Column) -> Column:
     return _max_udf(sketch)
+
+
+# ---- float-typed variants (the reference's kll_FLOAT family returns real,
+# sql/datasketches_kll_float_sketch.sql:113; the shared kernel computes in
+# float32-quantized space already — these wrappers type the results) -------
+
+
+def kll_float_sketch_get_quantile(sketch: Column, rank: float, inclusive: bool = False) -> Column:
+    return _quantile_udf(sketch, F.lit(float(rank)), F.lit(inclusive)).cast(FloatType())
+
+
+def kll_float_sketch_get_quantiles(sketch: Column, ranks, inclusive: bool = False) -> Column:
+    return _quantiles_udf(sketch, _arr(ranks), F.lit(inclusive)).cast(ArrayType(FloatType()))
+
+
+def kll_float_sketch_get_min_item(sketch: Column) -> Column:
+    return _min_udf(sketch).cast(FloatType())
+
+
+def kll_float_sketch_get_max_item(sketch: Column) -> Column:
+    return _max_udf(sketch).cast(FloatType())

@@ -1,5 +1,5 @@
-"""Frequent-items (heavy hitters) sketch for strings — Misra-Gries with
-median-purge and a global error offset, matching the reference's
+"""Frequent-items (heavy hitters) sketch for strings — Misra-Gries /
+space-saving hybrid with PER-ITEM error tracking, matching the reference's
 frequent_strings surface
 (/root/reference/src/frequent_strings_sketch_pg_functions.c,
  /root/reference/sql/datasketches_frequent_strings_sketch.sql):
@@ -13,17 +13,31 @@ frequent_strings surface
   src/frequent_strings_sketch_c_adapter.cpp:164-169)
 - to_string                          (sql:95-101)
 
-Invariant (classic Misra-Gries): for every tracked item the stored count c
-satisfies  c <= true_count <= c + offset  where ``offset`` is the cumulative
-weight subtracted by purges. Hence lower_bound = c, upper_bound = estimate =
-c + offset (DataSketches reports the upper bound as the estimate). While no
-purge has occurred the sketch is EXACT with lb == est == ub — the regime the
-reference's tests use (test/fi_sketch_test.sql:7-19).
+Error model (the DataSketches family's per-item scheme, tighter than one
+global offset): each tracked item stores an UPPER-BOUND counter ``ub`` and
+the error ``err`` it inherited when (re-)inserted — the maximum possible
+overcount baked into ub. Invariants:
+
+    true_count <= ub                    (ub only grows; re-inserted items
+                                         start at weight + offset, which
+                                         dominates any dropped history)
+    true_count >= ub - err              (overcount is bounded by the offset
+                                         at insertion time)
+
+so lower_bound = ub - err, upper_bound = estimate = ub (DataSketches
+reports the upper bound as the estimate). Items inserted BEFORE any purge
+keep err = 0 — their bounds stay exact even after later purges, which a
+single global offset cannot express. ``offset`` is the largest counter
+ever evicted (any untracked item's true count is <= offset — the
+no-false-negatives guarantee at threshold >= offset).
+
+While no purge has occurred the sketch is EXACT with lb == est == ub —
+the regime the reference's tests use (test/fi_sketch_test.sql:7-19).
 
 Capacity: 0.75 * 2^lg_k tracked items (DataSketches load factor).
 
-Serialized layout: [u8 lg_k][u64 offset][u32 num] then per item
-[u32 len][utf8 bytes][i64 count].
+Serialized layout: [u8 magic=0x46][u8 lg_k][u64 offset][u32 num] then per
+item [u32 len][utf8 bytes][i64 ub][i64 err].
 """
 
 from __future__ import annotations
@@ -34,6 +48,7 @@ import numpy as np
 
 NO_FALSE_POSITIVES = "NO_FALSE_POSITIVES"
 NO_FALSE_NEGATIVES = "NO_FALSE_NEGATIVES"
+_MAGIC = 0x46
 
 
 class FiState:
@@ -41,8 +56,8 @@ class FiState:
 
     def __init__(self, lg_k: int):
         self.lg_k = int(lg_k)
-        self.offset = 0  # cumulative purged weight (max undercount of counts)
-        self.items: dict[str, int] = {}  # str -> lower-bound count
+        self.offset = 0  # max evicted counter: bound on any untracked item
+        self.items: dict[str, list[int]] = {}  # str -> [ub, err]
 
     @property
     def cap(self) -> int:
@@ -64,19 +79,39 @@ class FiState:
         for s, w in agg:
             if s is None:
                 continue
-            self.items[s] = self.items.get(s, 0) + int(w)
+            slot = self.items.get(s)
+            if slot is None:
+                # a dropped item may have had true count up to ``offset``
+                self.items[s] = [int(w) + self.offset, self.offset]
+            else:
+                slot[0] += int(w)
         self._purge_if_needed()
 
     def _purge_if_needed(self) -> None:
         while len(self.items) > self.cap:
-            counts = np.fromiter(self.items.values(), dtype=np.int64)
-            m = max(int(np.median(counts)), 1)
-            self.offset += m
-            self.items = {s: c - m for s, c in self.items.items() if c - m > 0}
+            ubs = np.fromiter((v[0] for v in self.items.values()), dtype=np.int64)
+            m = max(int(np.median(ubs)), self.offset + 1)
+            if not bool((ubs <= m).any()):
+                m = int(ubs.min())  # progress guarantee: evict the minima
+            evicted_max = 0
+            keep: dict[str, list[int]] = {}
+            for s, v in self.items.items():
+                if v[0] <= m:
+                    evicted_max = max(evicted_max, v[0])
+                else:
+                    keep[s] = v
+            self.items = keep
+            self.offset = max(self.offset, evicted_max)
 
     def merge(self, other: "FiState") -> None:
-        for s, c in other.items.items():
-            self.items[s] = self.items.get(s, 0) + c
+        for s, (ub, err) in other.items.items():
+            slot = self.items.get(s)
+            if slot is None:
+                # absent here: could have been dropped with up to self.offset
+                self.items[s] = [ub + self.offset, err + self.offset]
+            else:
+                slot[0] += ub
+                slot[1] += err
         self.offset += other.offset
         self._purge_if_needed()
 
@@ -84,8 +119,8 @@ class FiState:
         """Rows (str, estimate, lower_bound, upper_bound) sorted by estimate
         desc (ties: lexicographic for determinism)."""
         rows = []
-        for s, c in self.items.items():
-            lb, ub = c, c + self.offset
+        for s, (ub, err) in self.items.items():
+            lb = max(ub - err, 0)
             keep = (lb > threshold) if policy == NO_FALSE_POSITIVES else (ub > threshold)
             if keep:
                 rows.append((s, ub, lb, ub))
@@ -105,26 +140,28 @@ class FiState:
         return out
 
     def serialize(self) -> bytes:
-        parts = [struct.pack("<BQI", self.lg_k, self.offset, len(self.items))]
-        for s, c in self.items.items():
+        parts = [struct.pack("<BBQI", _MAGIC, self.lg_k, self.offset, len(self.items))]
+        for s, (ub, err) in self.items.items():
             b = s.encode("utf-8")
-            parts.append(struct.pack("<I", len(b)) + b + struct.pack("<q", c))
+            parts.append(struct.pack("<I", len(b)) + b + struct.pack("<qq", ub, err))
         return b"".join(parts)
 
     @classmethod
     def deserialize(cls, buf: bytes) -> "FiState":
-        lg_k, offset, num = struct.unpack_from("<BQI", buf, 0)
+        magic, lg_k, offset, num = struct.unpack_from("<BBQI", buf, 0)
+        if magic != _MAGIC:
+            raise ValueError("not a frequent-strings sketch image")
         st = cls(lg_k)
         st.offset = offset
-        pos = 13
+        pos = struct.calcsize("<BBQI")
         for _ in range(num):
             (ln,) = struct.unpack_from("<I", buf, pos)
             pos += 4
             s = buf[pos : pos + ln].decode("utf-8")
             pos += ln
-            (c,) = struct.unpack_from("<q", buf, pos)
-            pos += 8
-            st.items[s] = c
+            ub, err = struct.unpack_from("<qq", buf, pos)
+            pos += 16
+            st.items[s] = [ub, err]
         return st
 
 

@@ -124,10 +124,18 @@ def minhash_lsh_pairs(
     text_col: str,
     jaccard_threshold: float = 0.8,
     max_hamming: int = 16,
+    max_pair_bucket: int = 1000,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs over any (id, text) table — the dedup
     pipeline's candidate+verify stack as a standalone operator.
-    -> (a, b) with a < b."""
+    -> (a, b) with a < b.
+
+    BLAST RADIUS: pair mode enumerates all within-bucket pairs for buckets
+    up to ``max_pair_bucket`` members — O(cap^2) rows per mega-bucket
+    (10^6 pairs at the default 1000). That is inherent to LISTING pairs;
+    when only connectivity matters (clustering), use the pipeline's star
+    mode (candidate_edges mode="hybrid"), which is O(bucket). Lower the cap
+    for corpora with heavy boilerplate."""
     pseudo = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(id_col).cast("string").alias("url"),
@@ -135,7 +143,7 @@ def minhash_lsh_pairs(
     )
     # signatures feed banding once and verification twice: materialize once
     sigs = materialize(signature_stage(pseudo))
-    cand = candidate_edges(sigs, mode="pairs")
+    cand = candidate_edges(sigs, mode="pairs", max_pair_bucket=max_pair_bucket)
     return (
         verify_edges(cand, sigs, jaccard_threshold, max_hamming)
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))

@@ -193,3 +193,36 @@ class TestStats:
         assert student_t_sf(2.0, 10) == pytest.approx(0.0366941, rel=1e-4)
         assert student_t_sf(0.0, 5) == pytest.approx(0.5)
         assert student_t_sf(-2.0, 10) == pytest.approx(1 - 0.0366941, rel=1e-4)
+
+
+class TestFiPerItemError:
+    def test_early_items_keep_tight_bounds_after_purge(self):
+        """Per-item error tracking: an item inserted before any purge keeps
+        err = 0, so its bounds stay EXACT even after later purges — a single
+        global offset cannot express this."""
+        st = fi.FiState(4)  # cap = 12
+        st.update(["heavy"] * 1000)
+        rng = np.random.default_rng(3)
+        for chunk in range(20):
+            st.update([f"n{chunk}_{i}" for i in rng.integers(0, 40, size=200)])
+        assert st.offset > 0  # purges happened
+        rows = {r[0]: r for r in st.result(fi.NO_FALSE_NEGATIVES, 0)}
+        s, est, lb, ub = rows["heavy"]
+        assert lb == est == ub == 1000  # tight: err stayed 0
+
+    def test_purge_progress_when_all_counters_high(self):
+        st = fi.FiState(1)  # cap = 1
+        st.update(["a"] * 50 + ["b"] * 60 + ["c"] * 70)
+        assert len(st.items) <= st.cap  # terminated, evicted down to cap
+        for s, (ub, err) in st.items.items():
+            assert ub - err <= {"a": 50, "b": 60, "c": 70}[s] <= ub
+
+    def test_bounds_still_valid_zipf(self):
+        import collections
+
+        rng = np.random.default_rng(9)
+        vals = (rng.zipf(1.3, size=30_000) % 3000).astype(str)
+        st = fi.FiState.deserialize(fi.build(5, vals))
+        exact = collections.Counter(vals.tolist())
+        for item, est, lb, ub in st.result(fi.NO_FALSE_NEGATIVES, 50):
+            assert lb <= exact[item] <= ub, (item, lb, exact[item], ub)

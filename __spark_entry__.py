@@ -295,6 +295,31 @@ def q_theta_wire_roundtrip(spark, sf_dir):
     )
 
 
+def q_kll_wire_roundtrip(spark, sf_dir):
+    """DataSketches KLL wire-format interop gate: build per-group KLL in the
+    exact regime, serialize to the CANONICAL DataSketches kll_doubles image
+    (family 15; sketches.kll_interop — the format the reference's bytea
+    columns hold, src/kll_float_sketch_c_adapter.cpp:37-57), re-import, and
+    query n + median — the round trip must reproduce the exact answers."""
+    sk = KLL.kll_double_sketch_build(
+        _ev(spark, sf_dir), ["event_type"], "value", k=_KLL_EXACT_K
+    )
+    wire = sk.select(
+        "event_type", KLL.kll_double_sketch_to_datasketches(F.col("sketch")).alias("img")
+    )
+    back = wire.select(
+        "event_type",
+        F.conv(F.hex(F.substring("img", 3, 1)), 16, 10).cast("int").alias("family"),
+        KLL.kll_double_sketch_from_datasketches(F.col("img")).alias("sketch"),
+    )
+    return back.select(
+        "event_type",
+        "family",
+        KLL.kll_sketch_get_n(F.col("sketch")).alias("n"),
+        KLL.kll_sketch_get_quantile(F.col("sketch"), 0.5).alias("med"),
+    )
+
+
 def q_hll_tgt4_distinct(spark, sf_dir):
     """HLL_4 target type: genuinely 4-bit-packed images from the numpy HLL
     kernel; exact regime (few langs per source) -> estimates round to the
@@ -379,6 +404,25 @@ def q_fi_weighted_sources(spark, sf_dir):
     )
     res = FI.frequent_strings_sketch_result_no_false_positives(F.col("sketch"), 0)
     return FI.explode_result(sk, res)
+
+
+def q_fi_wire_roundtrip(spark, sf_dir):
+    """DataSketches frequent-strings wire-format interop gate: build in the
+    exact regime (5 event types <= cap 48), serialize to the CANONICAL
+    DataSketches frequent-items image (family 10; sketches.fi_interop — the
+    format the reference's bytea columns hold,
+    sql/datasketches_frequent_strings_sketch.sql:31-42), re-import, extract
+    — the round trip must reproduce the exact counts."""
+    sk = FI.frequent_strings_sketch_build(_ev(spark, sf_dir), [], 6, "event_type")
+    wire = sk.select(
+        FI.frequent_strings_sketch_to_datasketches(F.col("sketch")).alias("img")
+    )
+    back = wire.select(
+        F.conv(F.hex(F.substring("img", 3, 1)), 16, 10).cast("int").alias("family"),
+        FI.frequent_strings_sketch_from_datasketches(F.col("img")).alias("sketch"),
+    )
+    res = FI.frequent_strings_sketch_result_no_false_negatives(F.col("sketch"), 0)
+    return FI.explode_result(back, res, keep_cols=["family"])
 
 
 def q_fi_merge(spark, sf_dir):
@@ -707,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_intersection_reaggregate": q_theta_intersection_reaggregate,
         "theta_to_string": q_theta_to_string,
         "theta_wire_roundtrip": q_theta_wire_roundtrip,
+        "kll_wire_roundtrip": q_kll_wire_roundtrip,
         "hll_tgt4_distinct": q_hll_tgt4_distinct,
         "req_tail_accuracy": q_req_tail_accuracy,
         "hll_pair_union": q_hll_pair_union,
@@ -717,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_double_q25": q_quantiles_double_q25,
         "fi_heavy_event_types": q_fi_heavy_event_types,
         "fi_weighted_sources": q_fi_weighted_sources,
+        "fi_wire_roundtrip": q_fi_wire_roundtrip,
         "fi_merge": q_fi_merge,
         "aod_estimate": q_aod_estimate,
         "aod_means": q_aod_means,
@@ -795,6 +841,16 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT event_type, min(value) AS med FROM r
             WHERE rn > n * 0.5 GROUP BY event_type ORDER BY event_type
+        """,
+        "kll_wire_roundtrip": """
+            WITH r AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events)
+            SELECT event_type, 15 AS family, max(n) AS n,
+                   min(CASE WHEN rn > n * 0.5 THEN value END) AS med
+            FROM r GROUP BY event_type ORDER BY event_type
         """,
         "kll_minmax_n": """
             SELECT event_type, count(*) AS n, min(value) AS vmin, max(value) AS vmax
@@ -935,6 +991,12 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT event_type, max(n) AS n, min(value) AS q25 FROM r
             WHERE rn > n * 0.25 GROUP BY event_type ORDER BY event_type
+        """,
+        "fi_wire_roundtrip": """
+            SELECT 10 AS family, event_type AS str,
+                   count(*) AS estimate, count(*) AS lower_bound, count(*) AS upper_bound
+            FROM events GROUP BY event_type
+            ORDER BY estimate DESC, str
         """,
         "fi_heavy_event_types": """
             SELECT event_type AS str,

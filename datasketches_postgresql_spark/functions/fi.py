@@ -147,3 +147,31 @@ def _to_string_udf(s: pd.Series, print_items: pd.Series) -> pd.Series:
 def frequent_strings_sketch_to_string(sketch: Column, print_items: bool = False) -> Column:
     """(sql:95-101)."""
     return _to_string_udf(sketch, F.lit(print_items))
+
+
+# ---- canonical DataSketches wire format (sketches.fi_interop) ------------
+# The reference's frequent_strings_sketch bytea IS this image
+# (sql/datasketches_frequent_strings_sketch.sql:31-42); these adapters give
+# the internal per-item-error state the same ecosystem interop.
+
+
+@F.pandas_udf(BinaryType())
+def frequent_strings_sketch_to_datasketches(s: pd.Series) -> pd.Series:
+    """Internal FI state -> canonical DataSketches frequent-strings image
+    (readable by datasketches-{java,cpp,py}, Druid, Hive, the reference)."""
+    from ..sketches.fi_interop import serialize
+
+    return pd.Series(
+        [None if b is None else serialize(bytes(b)) for b in s], dtype=object
+    )
+
+
+@F.pandas_udf(BinaryType())
+def frequent_strings_sketch_from_datasketches(s: pd.Series) -> pd.Series:
+    """Canonical frequent-strings image -> internal state usable with every
+    frequent_strings_* function here."""
+    from ..sketches.fi_interop import deserialize
+
+    return pd.Series(
+        [None if b is None else deserialize(bytes(b)) for b in s], dtype=object
+    )

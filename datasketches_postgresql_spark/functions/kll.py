@@ -248,3 +248,52 @@ def kll_float_sketch_get_min_item(sketch: Column) -> Column:
 
 def kll_float_sketch_get_max_item(sketch: Column) -> Column:
     return _max_udf(sketch).cast(FloatType())
+
+
+# ---- canonical DataSketches wire format (sketches.kll_interop) -----------
+# The reference's kll types ARE standard DataSketches images
+# (src/kll_float_sketch_c_adapter.cpp:37-57, bytea casts at
+# sql/datasketches_kll_float_sketch.sql:31-42); these adapters give the
+# internal working state the same ecosystem interop.
+
+
+@F.pandas_udf(BinaryType())
+def kll_float_sketch_to_datasketches(s: pd.Series) -> pd.Series:
+    """Internal KLL state -> canonical DataSketches kll_floats image
+    (readable by datasketches-{java,cpp,py}, Druid, Hive, the reference)."""
+    from ..sketches.kll_interop import serialize
+
+    return pd.Series(
+        [None if b is None else serialize(bytes(b), "<f4") for b in s], dtype=object
+    )
+
+
+@F.pandas_udf(BinaryType())
+def kll_float_sketch_from_datasketches(s: pd.Series) -> pd.Series:
+    """Canonical kll_floats image -> internal state usable with every
+    kll_* function here."""
+    from ..sketches.kll_interop import deserialize
+
+    return pd.Series(
+        [None if b is None else deserialize(bytes(b), "<f4") for b in s], dtype=object
+    )
+
+
+@F.pandas_udf(BinaryType())
+def kll_double_sketch_to_datasketches(s: pd.Series) -> pd.Series:
+    """Internal KLL state -> canonical DataSketches kll_doubles image."""
+    from ..sketches.kll_interop import serialize
+
+    return pd.Series(
+        [None if b is None else serialize(bytes(b), "<f8") for b in s], dtype=object
+    )
+
+
+@F.pandas_udf(BinaryType())
+def kll_double_sketch_from_datasketches(s: pd.Series) -> pd.Series:
+    """Canonical kll_doubles image -> internal state."""
+    from ..sketches.kll_interop import deserialize
+
+    return pd.Series(
+        [None if b is None else deserialize(bytes(b), "<f8") for b in s], dtype=object
+    )

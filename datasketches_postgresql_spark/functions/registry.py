@@ -101,6 +101,12 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("kll_float_sketch_get_min_item", kll_fns._min_udf)
     spark.udf.register("kll_float_sketch_get_max_item", kll_fns._max_udf)
     spark.udf.register("kll_float_sketch_to_string", kll_fns.kll_sketch_to_string)
+    # canonical DataSketches wire format (ecosystem interop, like the
+    # reference's bytea casts at sql/datasketches_kll_float_sketch.sql:31-42)
+    spark.udf.register("kll_float_sketch_to_datasketches", kll_fns.kll_float_sketch_to_datasketches)
+    spark.udf.register("kll_float_sketch_from_datasketches", kll_fns.kll_float_sketch_from_datasketches)
+    spark.udf.register("kll_double_sketch_to_datasketches", kll_fns.kll_double_sketch_to_datasketches)
+    spark.udf.register("kll_double_sketch_from_datasketches", kll_fns.kll_double_sketch_from_datasketches)
 
     # -- req (real relative-compactor kernel, sketches.req) ------------------
     from ..sketches import req as _req
@@ -150,6 +156,14 @@ def register_all(spark: SparkSession) -> None:
         "frequent_strings_sketch_result_no_false_negatives", fi_fns._nfn_udf
     )
     spark.udf.register("frequent_strings_sketch_to_string", fi_fns._to_string_udf)
+    spark.udf.register(
+        "frequent_strings_sketch_to_datasketches",
+        fi_fns.frequent_strings_sketch_to_datasketches,
+    )
+    spark.udf.register(
+        "frequent_strings_sketch_from_datasketches",
+        fi_fns.frequent_strings_sketch_from_datasketches,
+    )
 
     # -- aod --------------------------------------------------------------------
     @F.pandas_udf(BinaryType())

@@ -36,8 +36,10 @@ the regime the reference's tests use (test/fi_sketch_test.sql:7-19).
 
 Capacity: 0.75 * 2^lg_k tracked items (DataSketches load factor).
 
-Serialized layout: [u8 magic=0x46][u8 lg_k][u64 offset][u32 num] then per
-item [u32 len][utf8 bytes][i64 ub][i64 err].
+Serialized layout: [u8 magic=0x46][u8 lg_k][u64 offset][u64 total]
+[u32 num] then per item [u32 len][utf8 bytes][i64 ub][i64 err]. ``total``
+is the total stream weight (DataSketches get_total_weight — needed for the
+canonical wire format, sketches.fi_interop).
 """
 
 from __future__ import annotations
@@ -52,11 +54,12 @@ _MAGIC = 0x46
 
 
 class FiState:
-    __slots__ = ("lg_k", "offset", "items")
+    __slots__ = ("lg_k", "offset", "total", "items")
 
     def __init__(self, lg_k: int):
         self.lg_k = int(lg_k)
         self.offset = 0  # max evicted counter: bound on any untracked item
+        self.total = 0  # total stream weight seen (survives purges)
         self.items: dict[str, list[int]] = {}  # str -> [ub, err]
 
     @property
@@ -79,6 +82,7 @@ class FiState:
         for s, w in agg:
             if s is None:
                 continue
+            self.total += int(w)
             slot = self.items.get(s)
             if slot is None:
                 # a dropped item may have had true count up to ``offset``
@@ -113,6 +117,7 @@ class FiState:
                 slot[0] += ub
                 slot[1] += err
         self.offset += other.offset
+        self.total += other.total
         self._purge_if_needed()
 
     def result(self, policy: str = NO_FALSE_NEGATIVES, threshold: int = 0):
@@ -140,7 +145,9 @@ class FiState:
         return out
 
     def serialize(self) -> bytes:
-        parts = [struct.pack("<BBQI", _MAGIC, self.lg_k, self.offset, len(self.items))]
+        parts = [
+            struct.pack("<BBQQI", _MAGIC, self.lg_k, self.offset, self.total, len(self.items))
+        ]
         for s, (ub, err) in self.items.items():
             b = s.encode("utf-8")
             parts.append(struct.pack("<I", len(b)) + b + struct.pack("<qq", ub, err))
@@ -148,12 +155,13 @@ class FiState:
 
     @classmethod
     def deserialize(cls, buf: bytes) -> "FiState":
-        magic, lg_k, offset, num = struct.unpack_from("<BBQI", buf, 0)
+        magic, lg_k, offset, total, num = struct.unpack_from("<BBQQI", buf, 0)
         if magic != _MAGIC:
             raise ValueError("not a frequent-strings sketch image")
         st = cls(lg_k)
         st.offset = offset
-        pos = struct.calcsize("<BBQI")
+        st.total = total
+        pos = struct.calcsize("<BBQQI")
         for _ in range(num):
             (ln,) = struct.unpack_from("<I", buf, pos)
             pos += 4

@@ -34,6 +34,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "160000"))
 WARM_DOCS = int(os.environ.get("SPARK_GRAFT_WARM_DOCS", "48000"))
+# Scaling pair measures the SAME job on the SAME input at both levels (the
+# north-rule criterion). Default: the full bench corpus — the pair must be
+# big enough to amortize fixed per-stage costs (stage scheduling, checkpoint
+# latency, Python-worker spin-up: ~25 s at 4 cores, ~7 s at 1 core,
+# measured), which a 100 TB job amortizes trivially but a small corpus does
+# not: at 72k docs the 4-core level spends 60% of its wall on overhead and
+# the measured efficiency reflects the harness, not the pipeline.
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", str(BENCH_DOCS)))
 # Scaling pair (north_rule: N vs 4N executors -> two parallelism levels on
 # identical input). 1 vs 4 by default: this VM exposes 32 vCPUs behind a
 # single shared memory bus that saturates at ~9 concurrent DRAM-streaming
@@ -135,23 +143,22 @@ def fresh_spark(cpus: int, shuffle: int):
     return get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=shuffle)
 
 
-def ensure_corpora(spark) -> tuple[str, str]:
+def ensure_corpora(spark) -> tuple[str, str, str]:
     """Write the measured corpus (BENCH_DOCS, generated IN the executors
-    with fixed shard count so the bytes are identical at any parallelism)
-    and a small warmup corpus. Reused across runs/sessions."""
+    with fixed shard count so the bytes are identical at any parallelism),
+    the scaling-pair corpus (SCALING_DOCS) and a small warmup corpus.
+    Reused across runs/sessions."""
     from datasketches_postgresql_spark.sources.corpus import generate_corpus_distributed
 
-    big = os.path.join(DATA_DIR, f"bench_corpus_{BENCH_DOCS}")
-    warm = os.path.join(DATA_DIR, f"bench_corpus_warm_{WARM_DOCS}")
-    if not os.path.exists(os.path.join(big, "_SUCCESS")):
-        generate_corpus_distributed(spark, BENCH_DOCS, partitions=128).write.mode(
-            "overwrite"
-        ).parquet(big)
-    if not os.path.exists(os.path.join(warm, "_SUCCESS")):
-        generate_corpus_distributed(spark, WARM_DOCS, partitions=32).write.mode(
-            "overwrite"
-        ).parquet(warm)
-    return big, warm
+    out = []
+    for n, parts in ((BENCH_DOCS, 128), (SCALING_DOCS, 64), (WARM_DOCS, 32)):
+        path = os.path.join(DATA_DIR, f"bench_corpus_{n}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            generate_corpus_distributed(spark, n, partitions=parts).write.mode(
+                "overwrite"
+            ).parquet(path)
+        out.append(path)
+    return tuple(out)
 
 
 def measure_level(cores: int, big: str, warm: str, runs: int) -> dict:
@@ -211,8 +218,9 @@ def main() -> None:
     warm_workers(spark, CPUS)
     queries = run_headline_queries(spark)
 
-    big, warm = ensure_corpora(spark)
+    big, scaling, warm = ensure_corpora(spark)
     n_docs = spark.read.parquet(big).count()
+    n_scaling = spark.read.parquet(scaling).count()
     run_dedup_job(spark, spark.read.parquet(warm), os.path.join(DATA_DIR, "warm_ckpt_full"))
     t_full = min(
         run_dedup_job(spark, spark.read.parquet(big), os.path.join(DATA_DIR, "bench_ckpt_full"))
@@ -221,8 +229,8 @@ def main() -> None:
     spark.stop()
 
     # --- phase 2: scaling evidence, N vs 4N (same input) --------------------
-    hi = measure_level(SCALING_HIGH, big, warm, SCALING_RUNS)
-    lo = measure_level(SCALING_LOW, big, warm, SCALING_RUNS)
+    hi = measure_level(SCALING_HIGH, scaling, warm, SCALING_RUNS)
+    lo = measure_level(SCALING_LOW, scaling, warm, SCALING_RUNS)
     from pyspark.sql import SparkSession
 
     active = SparkSession.getActiveSession()
@@ -230,8 +238,8 @@ def main() -> None:
         active.stop()
 
     thr_full = n_docs / t_full
-    thr_hi = n_docs / hi["warm_min_sec"]
-    thr_lo = n_docs / lo["warm_min_sec"]
+    thr_hi = n_scaling / hi["warm_min_sec"]
+    thr_lo = n_scaling / lo["warm_min_sec"]
     eff_warm = (thr_hi / thr_lo) / (SCALING_HIGH / SCALING_LOW)
     eff_cold = (lo["cold_sec"] / hi["cold_sec"]) / (SCALING_HIGH / SCALING_LOW)
 
@@ -252,6 +260,7 @@ def main() -> None:
         "scaling": {
             "low_cores": SCALING_LOW,
             "high_cores": SCALING_HIGH,
+            "n_docs": n_scaling,
             "low": lo,
             "high": hi,
             "t_low_sec": lo["warm_min_sec"],

@@ -125,3 +125,155 @@ def sketch_metrics_foreach_batch(metrics_path: str, id_col: str, value_col: str 
         result.write.mode("append").parquet(metrics_path)
 
     return fn
+
+
+def streaming_lsh_candidates(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    shingle_n: int = 9,
+    num_perm: int = 128,
+    bands: int = 32,
+    rows: int = 4,
+    seed: int = 7,
+    max_bucket: int = 64,
+    state_timeout_minutes: int = 30,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator: near-duplicate candidate pairs
+    over an unbounded document stream, state bounded per LSH bucket.
+
+    The batch pipeline's LSH banding (dedup/lsh.py) assumes it can self-join
+    a materialized signature table; a stream cannot. Instead, each arriving
+    document's band hashes probe per-bucket state held by
+    ``applyInPandasWithState`` (the PySpark arbitrary-stateful-processing
+    operator): the state for one ``band_hash`` group is the ring of the last
+    ``max_bucket`` (doc_id, sig_hash) members, and every arrival emits
+    candidate pairs against current members (sig_hash equality short-circuit
+    = the whole-signature collision check, mirroring
+    dedup/verify.py's cheap pre-filter). State is dropped after
+    ``state_timeout_minutes`` of bucket inactivity (ProcessingTimeTimeout),
+    so total state is O(active buckets x max_bucket) regardless of stream
+    length — the same bounded-state discipline as the watermarked exact
+    dedup above.
+
+    Input: (doc_id long, url string, text string, ``ts_col`` timestamp).
+    Output (append mode): (band_hash, a, b, exact_sig_match) with a < b;
+    pairs may repeat across bands — downstream dropDuplicates(["a","b"])
+    within its own watermark, or feed the batch verifier on sink.
+
+    Scale shape: the signature kernels are the SAME vectorized numpy ones
+    the batch pipeline uses (one mapInPandas, no per-row Python); the
+    stateful shuffle is keyed by band_hash (8 bytes) so a hot bucket is one
+    group — the ``max_bucket`` ring caps both its state and its per-batch
+    pair fan-out, exactly like the batch path's bucket cap."""
+    from collections.abc import Iterator
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from ..dedup.minhash import (
+        band_hash_matrix,
+        minhash_signatures,
+        sig_hash_vector,
+    )
+    from ..dedup.shingle import shingle_hash_batch
+
+    proj = stream.select("doc_id", F.col(ts_col).alias("__ts"), "text")
+
+    sig_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("__ts", TimestampType()),
+            StructField("band_hash", LongType()),
+            StructField("sig_hash", LongType()),
+        ]
+    )
+
+    def signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sh = shingle_hash_batch(pdf["text"], n=shingle_n)
+            sig = minhash_signatures(sh, num_perm=num_perm, seed=seed)
+            band_h = band_hash_matrix(sig, bands, rows)  # (n_docs, bands) i64
+            sig_h = sig_hash_vector(band_h)
+            n, b = band_h.shape
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), b),
+                    "__ts": np.repeat(pdf["__ts"].to_numpy(), b),
+                    "band_hash": band_h.reshape(-1),
+                    "sig_hash": np.repeat(sig_h, b),
+                }
+            )
+
+    sigs = proj.mapInPandas(signatures, schema=sig_schema).withWatermark(
+        "__ts", watermark
+    )
+
+    out_schema = StructType(
+        [
+            StructField("band_hash", LongType()),
+            StructField("a", LongType()),
+            StructField("b", LongType()),
+            StructField("exact_sig_match", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(LongType())),
+            StructField("sigs", ArrayType(LongType())),
+        ]
+    )
+
+    def probe_bucket(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (band,) = key
+        ids, sigs = state.get if state.exists else ([], [])
+        ids, sigs = list(ids), list(sigs)
+        out_a, out_b, out_m = [], [], []
+        for pdf in pdfs:
+            for did, sh in zip(
+                pdf["doc_id"].to_numpy().tolist(), pdf["sig_hash"].to_numpy().tolist()
+            ):
+                for mid, msh in zip(ids, sigs):
+                    if mid == did:
+                        continue
+                    lo, hi = (did, mid) if did < mid else (mid, did)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                    out_m.append(sh == msh)
+                ids.append(did)
+                sigs.append(sh)
+                if len(ids) > max_bucket:  # ring: keep the freshest members
+                    ids, sigs = ids[-max_bucket:], sigs[-max_bucket:]
+        state.update((ids, sigs))
+        state.setTimeoutDuration(state_timeout_minutes * 60 * 1000)
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "band_hash": np.full(len(out_a), band, dtype=np.int64),
+                    "a": np.array(out_a, dtype=np.int64),
+                    "b": np.array(out_b, dtype=np.int64),
+                    "exact_sig_match": np.array(out_m, dtype=bool),
+                }
+            )
+
+    return sigs.groupBy("band_hash").applyInPandasWithState(
+        probe_bucket,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

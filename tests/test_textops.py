@@ -219,3 +219,83 @@ class TestStreamingMetricsSink:
         # mergeability across batches: union of stored sketches == union set
         merged = _t.union([bytes(rows[0]["theta_sketch"]), bytes(rows[1]["theta_sketch"])])
         assert _t.get_estimate(merged) == 1000.0
+
+
+class TestStreamingLshCandidates:
+    def test_stateful_near_dup_candidates(self, spark, tmp_path):
+        """applyInPandasWithState LSH: two near-identical docs streaming in
+        must emit a candidate pair; the unrelated doc must pair with
+        neither. Exact copies also carry exact_sig_match=True."""
+        from datasketches_postgresql_spark.streaming.stream import (
+            streaming_lsh_candidates,
+        )
+
+        base = (
+            "the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest looking for adventure " * 8
+        )
+        rows = [
+            (1, "u1", base, "2025-01-01 00:00:00"),
+            (2, "u2", base, "2025-01-01 00:00:01"),  # exact copy of 1
+            (3, "u3", "completely different tiny text about spark plans "
+                      "catalyst tungsten shuffles partitions " * 9, "2025-01-01 00:00:02"),
+        ]
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            rows, "doc_id long, url string, text string, ts string"
+        ).withColumn("ts", F.to_timestamp("ts")).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id long, url string, text string, ts timestamp"
+        ).parquet(src)
+        cands = streaming_lsh_candidates(stream, bands=16, rows=8)
+        q = (
+            cands.writeStream.format("memory")
+            .queryName("lsh_cand_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "select distinct a, b, max(exact_sig_match) over "
+            "(partition by a, b) as m from lsh_cand_test"
+        ).collect()
+        pairs = {(r["a"], r["b"]): r["m"] for r in got}
+        assert (1, 2) in pairs and pairs[(1, 2)]  # exact copies collide fully
+        assert all(3 not in p for p in pairs)  # unrelated doc pairs with nothing
+
+    def test_state_bounded_by_ring(self, spark, tmp_path):
+        """max_bucket caps per-bucket pair fan-out: N exact copies with a
+        small ring emit at most ring-size pairs per arrival, not O(N^2)."""
+        from datasketches_postgresql_spark.streaming.stream import (
+            streaming_lsh_candidates,
+        )
+
+        text = "identical payload for every single document in this bucket " * 10
+        rows = [(i, f"u{i}", text, "2025-01-01 00:00:00") for i in range(1, 13)]
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            rows, "doc_id long, url string, text string, ts string"
+        ).withColumn("ts", F.to_timestamp("ts")).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id long, url string, text string, ts timestamp"
+        ).parquet(src)
+        cands = streaming_lsh_candidates(stream, bands=4, rows=32, max_bucket=3)
+        q = (
+            cands.writeStream.format("memory")
+            .queryName("lsh_ring_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        per_band = spark.sql(
+            "select band_hash, count(*) as c from lsh_ring_test group by band_hash"
+        ).collect()
+        # 12 docs, ring 3: each arrival pairs against <=3 members -> <=33
+        # per band, far below the unbounded 66
+        assert per_band and all(r["c"] <= 3 * 11 for r in per_band)
+        n_pairs = spark.sql(
+            "select count(distinct a, b) as c from lsh_ring_test"
+        ).collect()[0]["c"]
+        assert n_pairs >= 11  # every doc still linked into the cluster

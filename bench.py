@@ -80,17 +80,25 @@ def _sf_label(path: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
-def run_headline_queries(spark) -> dict[str, float]:
+def run_headline_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
+    """Two evaluations per query: (warm = second run, cold = first run).
+    Single-sample first-evaluation timings on this shared VM swing 2-3x
+    (page cache, co-tenant steal); the steady-state number is the one
+    comparable across rounds, and the cold pass is reported alongside so
+    nothing hides in run selection."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    out = {}
+    cold, warm = {}, {}
     for name in HEADLINE:
         t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
-        out[name] = round(time.time() - t0, 3)
-        _ = n
-    return out
+        qs[name](spark, SF_DIR).count()
+        cold[name] = round(time.time() - t0, 3)
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        warm[name] = round(time.time() - t0, 3)
+    return warm, cold
 
 
 def run_dedup_job(spark, pages, ckpt_dir: str) -> float:
@@ -216,7 +224,7 @@ def main() -> None:
     # --- phase 1: headline queries + full-machine dedup throughput ----------
     spark = fresh_spark(CPUS, max(CPUS, 32))
     warm_workers(spark, CPUS)
-    queries = run_headline_queries(spark)
+    queries, queries_cold = run_headline_queries(spark)
 
     big, scaling, warm = ensure_corpora(spark)
     n_docs = spark.read.parquet(big).count()
@@ -252,6 +260,7 @@ def main() -> None:
         "unit": "sec",
         "sf": _sf_label(SF_DIR),
         "queries": queries,
+        "queries_cold": queries_cold,
         "dedup": {
             "n_docs": n_docs,
             "docs_per_sec": round(thr_full, 1),

@@ -66,10 +66,47 @@ def _trim(lg_k: int, theta: np.uint64, hashes: np.ndarray) -> tuple[np.uint64, n
     return theta, hashes
 
 
+def _smallest_unique(v: np.ndarray, want: int) -> np.ndarray:
+    """Sorted unique values of ``v``, truncated: guaranteed to contain the
+    min(want, n_unique) smallest unique values (possibly more, never fewer).
+
+    Selection by THRESHOLD FILTER, not ``np.partition``: sketch inputs are
+    64-bit hash values (uniform by contract — the kernel receives xxhash64/
+    splitmix output), so the want-th smallest sits near ``(want/n)*2^64`` and
+    one vectorized compare-and-compress pass isolates ~c*want candidates.
+    That pass is memory-streaming O(n); on this class of hardware both
+    ``np.sort`` and ``np.partition`` on 10^7 u64 cost 10-26 s while the
+    filter pass costs ~0.1 s, and only the k+1 smallest unique hashes can
+    survive the trim anyway. Escalates the threshold (handles duplication /
+    mild non-uniformity) and degrades to the full unique only for
+    adversarial non-hash inputs."""
+    n = v.size
+    c = 8.0
+    while True:
+        frac = c * want / n
+        if frac >= 1.0:
+            return np.unique(v)
+        thresh = np.uint64(int(frac * float(2**64)))
+        head = v[v < thresh]
+        if head.size == n:
+            return np.unique(head)
+        if head.size:
+            uniq = np.unique(head)
+            if uniq.size >= want:
+                return uniq
+        c *= 16.0
+
+
 def build(values: np.ndarray, lg_k: int = DEFAULT_LG_K, p: float = 1.0) -> bytes:
     """Build from pre-hashed uint64 values (dedups internally)."""
     theta = _MAX_THETA if p >= 1.0 else np.uint64(int(p * float(2**64 - 1)))
-    hashes = np.unique(np.asarray(values, dtype=_U64))
+    v = np.asarray(values, dtype=_U64)
+    k = _k(lg_k)
+    if v.size > 4 * k:
+        # only the k+1 smallest unique hashes can survive _trim
+        hashes = _smallest_unique(v, k + 1)
+    else:
+        hashes = np.unique(v)
     theta, hashes = _trim(lg_k, theta, hashes)
     return serialize(lg_k, theta, np.sort(hashes))
 
@@ -80,7 +117,9 @@ def union(sketches: list[bytes], lg_k: int | None = None) -> bytes:
         return empty(lg_k or DEFAULT_LG_K)
     out_lg_k = lg_k if lg_k is not None else min(p[0] for p in parts)
     theta = min(p[1] for p in parts)
-    hashes = np.unique(np.concatenate([p[2] for p in parts]))
+    concat = np.concatenate([p[2] for p in parts])
+    k = _k(out_lg_k)
+    hashes = _smallest_unique(concat, k + 1) if concat.size > 4 * k else np.unique(concat)
     theta, hashes = _trim(out_lg_k, theta, hashes)
     return serialize(out_lg_k, theta, np.sort(hashes))
 

@@ -194,6 +194,19 @@ PAGES_SCHEMA = (
 )
 
 
+def _shard_params(n_docs: int, seed: int, partitions: int, pid: int) -> dict:
+    """Per-shard generator parameters — the SINGLE source of truth shared by
+    the pages and dup_truth distributed generators, so the truth labels line
+    up with the pages byte-for-byte (same shard seed => same rng stream)."""
+    per = max(1, n_docs // partitions)
+    return {
+        "n_docs": per,
+        "seed": seed + pid * 1009,
+        "id_offset": pid * per * 2,
+        "n_hosts": max(4, n_docs // 50),
+    }
+
+
 def generate_corpus_distributed(
     spark: SparkSession,
     n_docs: int,
@@ -205,20 +218,19 @@ def generate_corpus_distributed(
     """Pages-only corpus generated IN the executors: each shard runs the
     same deterministic generator with a shard-derived seed and a disjoint
     id namespace — the pattern a 10^12-doc corpus generation would use.
-    Duplicates are planted within shards (dup mass realistic; the labelled
-    dup_truth path stays with the driver-side generator used by tests)."""
-    per = max(1, n_docs // partitions)
-    n_hosts = max(4, n_docs // 50)
+    Duplicates are planted within shards; the matching labels come from
+    ``generate_truth_distributed`` (same shard params => same rng stream)."""
 
     def gen(batches):
         for pdf in batches:
             for pid in pdf["id"]:
+                p = _shard_params(n_docs, seed, partitions, int(pid))
                 pages, _ = generate_corpus_pandas(
-                    per,
-                    seed=seed + int(pid) * 1009,
-                    id_offset=int(pid) * per * 2,
+                    p["n_docs"],
+                    seed=p["seed"],
+                    id_offset=p["id_offset"],
                     words_mu=words_mu,
-                    n_hosts=n_hosts,
+                    n_hosts=p["n_hosts"],
                     **kw,
                 )
                 yield pages
@@ -227,4 +239,43 @@ def generate_corpus_distributed(
         spark.range(partitions)
         .repartition(partitions)
         .mapInPandas(gen, schema=PAGES_SCHEMA)
+    )
+
+
+TRUTH_SCHEMA = "url_a string, url_b string, kind string"
+
+
+def generate_truth_distributed(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = SEED,
+    partitions: int = 32,
+    words_mu: float = 5.3,
+    **kw,
+) -> DataFrame:
+    """dup_truth labels for ``generate_corpus_distributed`` with identical
+    arguments: reruns each shard's deterministic generator and keeps only
+    the truth frame. Regenerating text to recover labels costs one extra
+    pass at corpus-creation time (cached to parquet by callers) and keeps
+    the pages generator allocation-free of label bookkeeping."""
+
+    def gen(batches):
+        for pdf in batches:
+            for pid in pdf["id"]:
+                p = _shard_params(n_docs, seed, partitions, int(pid))
+                _, truth = generate_corpus_pandas(
+                    p["n_docs"],
+                    seed=p["seed"],
+                    id_offset=p["id_offset"],
+                    words_mu=words_mu,
+                    n_hosts=p["n_hosts"],
+                    **kw,
+                )
+                if len(truth):
+                    yield truth
+
+    return (
+        spark.range(partitions)
+        .repartition(partitions)
+        .mapInPandas(gen, schema=TRUTH_SCHEMA)
     )

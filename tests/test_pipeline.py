@@ -128,3 +128,29 @@ class TestConnectedComponents:
         for n, c in local:
             assert c <= n and c in {x for x, _ in local}
         assert roots <= {n for n, _ in local}
+
+
+class TestDistributedTruth:
+    def test_truth_labels_match_distributed_pages(self, spark):
+        """generate_truth_distributed must label exactly the duplicates the
+        distributed pages generator planted: every truth url exists in the
+        pages, and the pair texts actually relate (exact => equal text)."""
+        from datasketches_postgresql_spark.sources.corpus import (
+            generate_corpus_distributed,
+            generate_truth_distributed,
+        )
+
+        pages = generate_corpus_distributed(spark, 800, partitions=4)
+        truth = generate_truth_distributed(spark, 800, partitions=4)
+        n_truth = truth.count()
+        assert n_truth > 0
+        urls = {r["url"] for r in pages.select("url").collect()}
+        t = truth.collect()
+        for r in t:
+            assert r["url_a"] in urls and r["url_b"] in urls
+        texts = {r["url"]: r["text"] for r in pages.select("url", "text").collect()}
+        for r in t:
+            if r["kind"] == "exact":
+                assert texts[r["url_a"]] == texts[r["url_b"]]
+            elif r["kind"] == "substring":
+                assert texts[r["url_b"]] in texts[r["url_a"]]

@@ -226,3 +226,66 @@ class TestFiPerItemError:
         exact = collections.Counter(vals.tolist())
         for item, est, lb, ub in st.result(fi.NO_FALSE_NEGATIVES, 50):
             assert lb <= exact[item] <= ub, (item, lb, exact[item], ub)
+
+
+class TestThetaSelectionFastPath:
+    """theta.build/union use threshold-filter selection (not a full sort)
+    above 4k input values — these cases pin exact equivalence with the
+    np.unique slow path, including inputs that defeat the uniform-hash
+    assumption the filter is tuned for."""
+
+    def _reference_build(self, vals, lg_k):
+        from datasketches_postgresql_spark.sketches.theta import (
+            _MAX_THETA,
+            _trim,
+            serialize,
+        )
+
+        hashes = np.unique(np.asarray(vals, dtype=np.uint64))
+        th, hs = _trim(lg_k, _MAX_THETA, hashes)
+        return serialize(lg_k, th, np.sort(hs))
+
+    def test_uniform_large_batch_matches_slow_path(self):
+        rng = np.random.default_rng(1)
+        vals = rng.integers(0, 2**64, size=500_000, dtype=np.uint64)
+        for lg_k in (8, 12):
+            assert theta.build(vals, lg_k) == self._reference_build(vals, lg_k)
+
+    def test_adversarial_low_range_matches(self):
+        # all values in a tiny low range: the first threshold keeps
+        # everything -> must degrade to exact unique, not truncate
+        rng = np.random.default_rng(2)
+        vals = rng.integers(0, 10_000, size=200_000, dtype=np.uint64)
+        assert theta.build(vals, 12) == self._reference_build(vals, 12)
+
+    def test_adversarial_high_range_matches(self):
+        # all values near 2^64: threshold filter finds nothing until it
+        # escalates past the range
+        rng = np.random.default_rng(3)
+        vals = (np.uint64(2**64 - 1) - rng.integers(0, 10_000, size=100_000).astype(np.uint64))
+        assert theta.build(vals, 12) == self._reference_build(vals, 12)
+
+    def test_heavy_duplication_matches(self):
+        rng = np.random.default_rng(4)
+        base = rng.integers(0, 2**64, size=100, dtype=np.uint64)
+        vals = rng.choice(base, size=300_000)
+        assert theta.build(vals, 12) == self._reference_build(vals, 12)
+        assert abs(theta.get_estimate(theta.build(vals, 12)) - 100) < 1e-9
+
+    def test_all_identical_matches(self):
+        vals = np.full(50_000, 12345, dtype=np.uint64)
+        assert theta.build(vals, 12) == self._reference_build(vals, 12)
+
+    def test_union_large_concat_matches(self):
+        rng = np.random.default_rng(5)
+        parts = [
+            theta.build(rng.integers(0, 2**64, size=40_000, dtype=np.uint64), 8)
+            for _ in range(8)
+        ]
+        u = theta.union(parts, 8)
+        # union through the fast path must equal a single build of the
+        # combined retained-hash multiset
+        from datasketches_postgresql_spark.sketches.theta import deserialize
+
+        combined = np.concatenate([deserialize(p)[2] for p in parts])
+        assert u == self._reference_build(combined, 8)

@@ -118,26 +118,138 @@ def chunk_hashes_batch(
             start = off
             end = off + int(lens[d])
             off = end
-            ln = end - start
-            if ln < min_chunk:
-                out[d] = np.empty(0, dtype=np.uint64)
-                continue
             # cut positions strictly inside the doc (a cut at i ends a chunk)
-            lo, hi = start, max(start, end - shingle_n + 1)
-            local_cuts = start + np.flatnonzero(is_cut[lo:hi])
-            bounds = np.concatenate([[start], local_cuts, [end]]).astype(np.int64)
-            ls, rs = bounds[:-1], bounds[1:]
-            keep = (rs - ls) >= min_chunk
-            ls, rs = ls[keep], rs[keep]
-            if ls.size == 0:
-                out[d] = np.empty(0, dtype=np.uint64)
-                continue
-            with np.errstate(over="ignore"):
-                h = (prefix[rs] - prefix[ls]) * pows[rs]
-                h = splitmix64(h ^ (rs - ls).astype(np.uint64))
-            out[d] = np.unique(h)
+            out[d] = _doc_chunks(prefix, pows, is_cut, start, end, min_chunk, shingle_n)
         b0 = b1
     return out
+
+
+def _doc_chunks(
+    prefix: np.ndarray,
+    pows: np.ndarray,
+    is_cut: np.ndarray,
+    start: int,
+    end: int,
+    min_chunk: int,
+    shingle_n: int,
+) -> np.ndarray:
+    """Chunk content hashes for one doc spanning [start, end) of a block's
+    codepoint array (shared by the standalone and fused kernels)."""
+    ln = end - start
+    if ln < min_chunk:
+        return np.empty(0, dtype=np.uint64)
+    lo, hi = start, max(start, end - shingle_n + 1)
+    local_cuts = start + np.flatnonzero(is_cut[lo:hi])
+    bounds = np.concatenate([[start], local_cuts, [end]]).astype(np.int64)
+    ls, rs = bounds[:-1], bounds[1:]
+    keep = (rs - ls) >= min_chunk
+    ls, rs = ls[keep], rs[keep]
+    if ls.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = (prefix[rs] - prefix[ls]) * pows[rs]
+        h = splitmix64(h ^ (rs - ls).astype(np.uint64))
+    return np.unique(h)
+
+
+def shingle_and_chunks_batch(
+    texts: pd.Series,
+    n: int = 9,
+    divisor: int = DEFAULT_DIVISOR,
+    min_chunk: int = DEFAULT_MIN_CHUNK,
+    unique: bool = True,
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """FUSED kernel: per-doc (shingle hashes, CDC chunk hashes) in ONE pass
+    over the text — one utf-32 decode and one rolling 9-gram hash feed both
+    the near-dup layer (MinHash/SimHash shingles) and the exact-substring
+    layer (content-defined chunk hashes). The standalone kernels each pay
+    that decode + roll; at 10^12 docs the text scan IS the cost, so the
+    substring candidate stage rides the signature stage's scan for free.
+
+    Output is bit-identical to (shingle_hash_batch(texts, n),
+    chunk_hashes_batch(texts, divisor, min_chunk, n)) — the CDC cut
+    predicate is the same splitmix-finalized rolling hash the shingles use,
+    and chunk content hashes telescope to position-independent values, so
+    block grouping cannot leak between documents (pinned by tests)."""
+    from .shingle import _BLOCK_CHARS, shingle_hash_batch
+
+    n_docs = len(texts)
+    filled = texts.fillna("")
+    lens = filled.str.len().to_numpy(dtype=np.int64)
+    strs = filled.to_numpy(dtype=object)
+    out_sh: list[np.ndarray] = [None] * n_docs  # type: ignore[list-item]
+    out_ch: list[np.ndarray] = [None] * n_docs  # type: ignore[list-item]
+    if n_docs == 0:
+        return out_sh, out_ch
+    scratch = np.empty(_BLOCK_CHARS + 4096, dtype=np.uint64)
+    scratch2 = np.empty(_BLOCK_CHARS + 4096, dtype=np.uint64)
+
+    b0 = 0
+    with np.errstate(over="ignore"):
+        while b0 < n_docs:
+            b1 = b0 + 1
+            blk = int(lens[b0])
+            while b1 < n_docs and blk + lens[b1] <= _BLOCK_CHARS:
+                blk += int(lens[b1])
+                b1 += 1
+            if blk == 0:
+                for i in range(b0, b1):
+                    out_sh[i] = np.empty(0, dtype=np.uint64)
+                    out_ch[i] = np.empty(0, dtype=np.uint64)
+                b0 = b1
+                continue
+            joined = "".join(strs[b0:b1])
+            codes = np.frombuffer(joined.encode("utf-32-le"), dtype="<u4")
+            total = codes.size
+            m = total - n + 1
+            acc = None
+            if m > 0:
+                if m > scratch.size:
+                    scratch = np.empty(m, dtype=np.uint64)
+                    scratch2 = np.empty(m, dtype=np.uint64)
+                acc = scratch[:m]
+                t = scratch2[:m]
+                acc[:] = 0
+                for j in range(n):
+                    acc *= _BASE
+                    acc += codes[j : j + m]
+                acc += np.uint64(0x9E3779B97F4A7C15)
+                np.right_shift(acc, np.uint64(30), out=t)
+                acc ^= t
+                acc *= np.uint64(0xBF58476D1CE4E5B9)
+                np.right_shift(acc, np.uint64(27), out=t)
+                acc ^= t
+                acc *= np.uint64(0x94D049BB133111EB)
+                np.right_shift(acc, np.uint64(31), out=t)
+                acc ^= t
+                is_cut = (acc % np.uint64(divisor)) == 0
+            else:
+                is_cut = np.empty(0, dtype=bool)
+            pows, ipows = _prefix_powers(max(total, _BLOCK_CHARS))
+            codes64 = codes.astype(np.uint64)
+            weighted = codes64 * ipows[:total]
+            prefix = np.concatenate(
+                [[np.uint64(0)], np.cumsum(weighted, dtype=np.uint64)]
+            )
+
+            off = 0
+            for i in range(b0, b1):
+                ln = int(lens[i])
+                start, end = off, off + ln
+                off = end
+                if ln == 0:
+                    out_sh[i] = np.empty(0, dtype=np.uint64)
+                elif ln < n:
+                    h = np.uint64(0)
+                    for c in codes[start:end]:
+                        h = h * _BASE + np.uint64(c)
+                    out_sh[i] = splitmix64(np.array([h], dtype=np.uint64))
+                else:
+                    sl = acc[start : start + ln - n + 1]
+                    out_sh[i] = np.unique(sl) if unique else sl.copy()
+                out_ch[i] = _doc_chunks(prefix, pows, is_cut, start, end, min_chunk, n)
+            b0 = b1
+    return out_sh, out_ch
 
 
 CHUNK_SCHEMA = StructType(
@@ -176,12 +288,18 @@ def substring_candidates(
     divisor: int = DEFAULT_DIVISOR,
     min_chunk: int = DEFAULT_MIN_CHUNK,
     max_bucket: int = 512,
+    chunks: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate substring-dup edges (a, b): docs sharing any CDC chunk.
     Star edges per chunk bucket (O(bucket)); buckets larger than
     ``max_bucket`` (mass boilerplate) are dropped — they represent content
     shared by hundreds of documents, which the near-dup LSH layer already
     handles; the cap is a documented precision/size guard.
+
+    ``chunks``: optional precomputed (doc_id, chunk_hash) rows — the
+    pipeline passes the signature stage's fused ``chunk_hashes`` column
+    (exploded JVM-side) so no second text scan happens; standalone callers
+    omit it and pay one ``chunk_stage`` pass over ``extracted``.
 
     Bucket stats come from ONE window shuffle over the exploded chunk rows
     (count/min per chunk_hash), mirroring lsh.candidate_edges — the former
@@ -190,7 +308,7 @@ def substring_candidates(
     fixed cost at every parallelism level."""
     from pyspark.sql import Window
 
-    ch = chunk_stage(extracted, divisor, min_chunk)
+    ch = chunks if chunks is not None else chunk_stage(extracted, divisor, min_chunk)
     w = Window.partitionBy("chunk_hash")
     chj = (
         ch.withColumn("cnt", F.count("*").over(w))

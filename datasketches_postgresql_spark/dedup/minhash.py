@@ -189,32 +189,38 @@ def simhash(shingles: list[np.ndarray]) -> np.ndarray:
     return out.view(np.int64)
 
 
-def signature_schema(bands: int = 32) -> StructType:
+def signature_schema(bands: int = 32, with_chunks: bool = False) -> StructType:
     """Signature-stage output schema. The band count is stamped into the
     ``band_hashes`` field metadata (survives parquet checkpoints) so
     lsh.band_hashes can verify the precomputed banding matches a caller's
     request instead of silently reusing mismatched hashes."""
-    return StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("url", StringType()),
-            StructField("n_shingles", LongType()),
-            StructField("minhash", ArrayType(LongType())),
-            StructField("simhash", LongType()),
-            # LSH band hashes + full-signature hash, PRECOMPUTED here in numpy:
-            # computing them JVM-side (slice + xxhash64 per band over the
-            # array<bigint>) costs ~130us/row in codegen (per-slice array
-            # allocation + element boxing) and gets re-evaluated per plan use —
-            # it was the single most expensive expression in the pipeline.
-            StructField("band_hashes", ArrayType(LongType()), metadata={"bands": bands}),
-            StructField("sig_hash", LongType()),
-            # per-batch theta partial over the shingle hash space: the
-            # distinct-shingle lineage metric (one non-null row per Arrow batch;
-            # the pipeline unions them — mergeable partial aggregation exactly
-            # like the reference's COMBINEFUNC protocol)
-            StructField("shingle_theta", BinaryType()),
-        ]
-    )
+    fields = [
+        StructField("doc_id", LongType()),
+        StructField("url", StringType()),
+        StructField("n_shingles", LongType()),
+        StructField("minhash", ArrayType(LongType())),
+        StructField("simhash", LongType()),
+        # LSH band hashes + full-signature hash, PRECOMPUTED here in numpy:
+        # computing them JVM-side (slice + xxhash64 per band over the
+        # array<bigint>) costs ~130us/row in codegen (per-slice array
+        # allocation + element boxing) and gets re-evaluated per plan use —
+        # it was the single most expensive expression in the pipeline.
+        StructField("band_hashes", ArrayType(LongType()), metadata={"bands": bands}),
+        StructField("sig_hash", LongType()),
+        # per-batch theta partial over the shingle hash space: the
+        # distinct-shingle lineage metric (one non-null row per Arrow batch;
+        # the pipeline unions them — mergeable partial aggregation exactly
+        # like the reference's COMBINEFUNC protocol)
+        StructField("shingle_theta", BinaryType()),
+    ]
+    if with_chunks:
+        # CDC chunk content hashes, computed by the FUSED kernel in the same
+        # text pass as the shingles (chunking.shingle_and_chunks_batch) —
+        # the substring-candidate layer then rides this stage's scan instead
+        # of re-reading the extracted text (~+2% stored bytes per doc vs a
+        # second full text scan at 10^12-doc scale)
+        fields.append(StructField("chunk_hashes", ArrayType(LongType())))
+    return StructType(fields)
 
 
 SIGNATURE_SCHEMA = signature_schema()
@@ -257,35 +263,51 @@ def signature_stage(
     seed: int = 7,
     bands: int = 32,
     rows: int = 4,
+    cdc: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(doc_id, url, text, ...) ->
-    (doc_id, url, n_shingles, minhash, simhash, band_hashes, sig_hash)."""
+    (doc_id, url, n_shingles, minhash, simhash, band_hashes, sig_hash
+     [, chunk_hashes]).
+
+    With ``cdc=(divisor, min_chunk)`` the CDC chunk content hashes are
+    computed in the SAME text pass (fused kernel) and emitted as an extra
+    array column — the exact-substring candidate layer then needs no second
+    scan of the extracted text."""
     assert bands * rows == num_perm, "bands x rows must cover the signature"
     proj = extracted.select("doc_id", "url", "text")
     from ..sketches import theta as _theta
+    from .chunking import shingle_and_chunks_batch
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            sh = shingle_hash_batch(pdf["text"], n=shingle_n)
+            if cdc is not None:
+                sh, ch = shingle_and_chunks_batch(
+                    pdf["text"], n=shingle_n, divisor=cdc[0], min_chunk=cdc[1]
+                )
+            else:
+                sh = shingle_hash_batch(pdf["text"], n=shingle_n)
             sig = minhash_signatures(sh, num_perm=num_perm, seed=seed)
             sim = simhash(sh)
             band_h = band_hash_matrix(sig, bands, rows)
             all_sh = np.concatenate(sh) if sh else np.empty(0, dtype=np.uint64)
             theta_partial = [None] * len(pdf)
             theta_partial[0] = _theta.build(all_sh)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy(),
-                    "url": pdf["url"].to_numpy(),
-                    "n_shingles": np.array([s.size for s in sh], dtype=np.int64),
-                    "minhash": list(sig.view(np.int64)),
-                    "simhash": sim,
-                    "band_hashes": list(band_h),
-                    "sig_hash": sig_hash_vector(band_h),
-                    "shingle_theta": theta_partial,
-                }
-            )
+            cols = {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "url": pdf["url"].to_numpy(),
+                "n_shingles": np.array([s.size for s in sh], dtype=np.int64),
+                "minhash": list(sig.view(np.int64)),
+                "simhash": sim,
+                "band_hashes": list(band_h),
+                "sig_hash": sig_hash_vector(band_h),
+                "shingle_theta": theta_partial,
+            }
+            if cdc is not None:
+                cols["chunk_hashes"] = [c.view(np.int64) for c in ch]
+            yield pd.DataFrame(cols)
 
-    return proj.mapInPandas(run, schema=signature_schema(bands))
+    return proj.mapInPandas(
+        run, schema=signature_schema(bands, with_chunks=cdc is not None)
+    )

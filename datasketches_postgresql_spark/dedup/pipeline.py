@@ -72,6 +72,10 @@ class DedupConfig:
     ingest_partitions: int = 0
     cdc_divisor: int = DEFAULT_DIVISOR
     cdc_min_chunk: int = DEFAULT_MIN_CHUNK
+    # fuse CDC chunk hashing into the signature stage's text pass (one scan
+    # of the corpus feeds both the near-dup and exact-substring layers);
+    # False = standalone chunk_stage second scan (the pre-fusion shape)
+    fuse_cdc: bool = True
     lineage_lg_k: int = 12
 
     def config_hash(self) -> str:
@@ -216,6 +220,7 @@ class DedupPipeline:
         extracted = self._stage("extracted", lambda: extract_stage(pages), resume)
         self._metric("extracted", "rows", self._rows("extracted"))
 
+        fuse = cfg.fuse_cdc and cfg.enable_containment and cfg.substring_mode == "cdc"
         signatures = self._stage(
             "signatures",
             lambda: signature_stage(
@@ -225,6 +230,7 @@ class DedupPipeline:
                 seed=cfg.minhash_seed,
                 bands=cfg.bands,
                 rows=cfg.rows,
+                cdc=(cfg.cdc_divisor, cfg.cdc_min_chunk) if fuse else None,
             ),
             resume,
         )
@@ -244,8 +250,16 @@ class DedupPipeline:
             ).select("a", "b")
             if cfg.enable_containment:
                 if cfg.substring_mode == "cdc":
+                    pre = (
+                        signatures.select(
+                            "doc_id",
+                            F.explode("chunk_hashes").alias("chunk_hash"),
+                        )
+                        if fuse
+                        else None
+                    )
                     cand = substring_candidates(
-                        extracted, cfg.cdc_divisor, cfg.cdc_min_chunk
+                        extracted, cfg.cdc_divisor, cfg.cdc_min_chunk, chunks=pre
                     )
                     cont = sa_verify_pairs(
                         cand, extracted, cfg.sa_min_match_chars, cfg.sa_max_group_chars

@@ -144,3 +144,48 @@ class TestSuffixArray:
         a = "site nav home " + " ".join(f"aw{i}" for i in range(300))
         b = "site nav home " + " ".join(f"bw{i}" for i in range(300))
         assert shared_substring_pairs_pandas(np.array([1, 2]), [a, b]) == []
+
+
+class TestFusedShingleChunks:
+    def test_fused_kernel_matches_standalone(self):
+        import numpy as np
+        import pandas as pd
+
+        from datasketches_postgresql_spark.dedup.chunking import (
+            chunk_hashes_batch,
+            shingle_and_chunks_batch,
+        )
+        from datasketches_postgresql_spark.dedup.shingle import shingle_hash_batch
+
+        rng = np.random.default_rng(0)
+        cases = [
+            "", "a", "ababab", "x" * 8, "y" * 9, "z" * 31, "w" * 32,
+            "hello world " * 500, None,
+            "".join(rng.choice(list("abcdef "), 70000)),
+        ]
+        texts = pd.Series(cases)
+        sh1 = shingle_hash_batch(texts)
+        ch1 = chunk_hashes_batch(texts)
+        sh2, ch2 = shingle_and_chunks_batch(texts)
+        for a, b in zip(sh1, sh2):
+            assert np.array_equal(a, b)
+        for a, b in zip(ch1, ch2):
+            assert np.array_equal(a, b)
+
+    def test_fused_batching_independence(self):
+        # chunk + shingle hashes must not depend on which docs share a batch
+        import numpy as np
+        import pandas as pd
+
+        from datasketches_postgresql_spark.dedup.chunking import (
+            shingle_and_chunks_batch,
+        )
+
+        rng = np.random.default_rng(1)
+        docs = ["".join(rng.choice(list("abcdefgh "), rng.integers(40, 3000)))
+                for _ in range(50)]
+        sh_all, ch_all = shingle_and_chunks_batch(pd.Series(docs))
+        for i in (0, 7, 23, 49):
+            sh_one, ch_one = shingle_and_chunks_batch(pd.Series([docs[i]]))
+            assert np.array_equal(sh_all[i], sh_one[0])
+            assert np.array_equal(ch_all[i], ch_one[0])

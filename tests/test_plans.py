@@ -92,3 +92,18 @@ class TestPlanQuality:
             F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("h")
         )
         assert "EvalPython" not in formatted_plan(scored)
+
+    def test_fused_substring_candidates_no_python(self, spark):
+        """With precomputed chunk hashes (the fused signature-stage column),
+        substring candidate generation is pure JVM: explode + window + joins,
+        no Python eval nodes and no second text scan."""
+        from datasketches_postgresql_spark.dedup.chunking import substring_candidates
+
+        sigs = spark.createDataFrame(
+            [(1, [10, 20]), (2, [20, 30]), (3, [30, 40])],
+            "doc_id long, chunk_hashes array<bigint>",
+        )
+        ch = sigs.select("doc_id", F.explode("chunk_hashes").alias("chunk_hash"))
+        q = substring_candidates(None, chunks=ch)
+        plan = formatted_plan(q)
+        assert "EvalPython" not in plan, plan

@@ -40,6 +40,89 @@ def rows_to_set(cols, rows):
     )
 
 
+def _norm_spark_type(dt) -> str:
+    """Spark DataType -> comparable normal form (mirrors _norm_arrow_type)."""
+    from pyspark.sql import types as T
+
+    simple = {
+        T.LongType: "int64",
+        T.IntegerType: "int32",
+        T.ShortType: "int16",
+        T.ByteType: "int8",
+        T.DoubleType: "float64",
+        T.FloatType: "float32",
+        T.StringType: "string",
+        T.BinaryType: "binary",
+        T.BooleanType: "bool",
+        T.DateType: "date",
+        T.TimestampType: "timestamp",
+    }
+    for cls, name in simple.items():
+        if isinstance(dt, cls):
+            return name
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_norm_spark_type(dt.elementType)}>"
+    if isinstance(dt, T.StructType):
+        inner = ",".join(f"{f.name}:{_norm_spark_type(f.dataType)}" for f in dt.fields)
+        return f"struct<{inner}>"
+    return str(dt)
+
+
+def _norm_arrow_type(t) -> str:
+    """pyarrow DataType -> comparable normal form (mirrors _norm_spark_type)."""
+    import pyarrow as pa
+
+    if pa.types.is_int64(t):
+        return "int64"
+    if pa.types.is_int32(t):
+        return "int32"
+    if pa.types.is_int16(t):
+        return "int16"
+    if pa.types.is_int8(t):
+        return "int8"
+    if pa.types.is_float64(t):
+        return "float64"
+    if pa.types.is_float32(t):
+        return "float32"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_norm_arrow_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{_norm_arrow_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def type_mismatches(sdf_schema, arrow_schema) -> list[str]:
+    """Column-by-column Spark-vs-DuckDB(Arrow) type diff, by column NAME.
+
+    The driver's value hash proved type-sensitive in round 1:
+    `fi_weighted_sources` matched values locally but hash-failed because
+    DuckDB `sum(BIGINT)` yields HUGEINT (arrow decimal128) where Spark emits
+    BIGINT. Value rounding can't see that class of mismatch — the Arrow
+    schemas can."""
+    stypes = {f.name: _norm_spark_type(f.dataType) for f in sdf_schema.fields}
+    dtypes = {f.name: _norm_arrow_type(f.type) for f in arrow_schema}
+    out = []
+    for name in sorted(set(stypes) & set(dtypes)):
+        if stypes[name] != dtypes[name]:
+            out.append(f"{name}: spark={stypes[name]} duckdb={dtypes[name]}")
+    return out
+
+
 def main():
     import __spark_entry__ as entrymod
     from datasketches_postgresql_spark.session import get_spark
@@ -71,12 +154,20 @@ def main():
             print(f"rows-only  {name}: {len(srows)} rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            atbl = con.execute(oracles[name]).arrow()
+            dcols = atbl.column_names
+            dpy = atbl.to_pydict()
+            drows = list(zip(*(dpy[c] for c in dcols))) if dcols else []
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL  {name}: duckdb error {str(e)[:200]}")
+            continue
+        tmis = type_mismatches(sdf.schema, atbl.schema)
+        if tmis:
+            failures.append((name, f"TYPE mismatch: {tmis}"))
+            print(f"FAIL  {name}: arrow-level type mismatch (driver hash is type-sensitive)")
+            for m in tmis:
+                print(f"   {m}")
             continue
         sc, sv = rows_to_set(scols, [[r[c] for c in scols] for r in srows])
         dc, dv = rows_to_set(dcols, drows)

@@ -623,7 +623,7 @@ def q_ann_topk(spark, sf_dir):
     e = _embs(spark, sf_dir)
     qs = e.where("vec_id < 5")
     return ANN.cosine_topk(e, qs, "vec_id", "embedding", k=5).select(
-        "qid", "id", F.round("cos", 4).alias("cos"), "rank"
+        "qid", "id", F.round("cos", 4).alias("cos"), F.col("rank").cast("bigint").alias("rank")
     )
 
 
@@ -642,7 +642,9 @@ def q_ann_lsh(spark, sf_dir):
 
 def q_text_tokens(spark, sf_dir):
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", TA.token_count(F.col("text")).alias("n_tokens"))
+    return d.select(
+        "doc_id", TA.token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
 
 
 def q_text_quality(spark, sf_dir):
@@ -1054,10 +1056,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, user_id, n FROM r WHERE rk = 1 ORDER BY event_type
         """,
         "dedup_exact": """
-            SELECT doc_id AS rep_id, 2 AS n_dups FROM documents ORDER BY rep_id
+            SELECT doc_id AS rep_id, CAST(2 AS BIGINT) AS n_dups FROM documents ORDER BY rep_id
         """,
         "dedup_exact_by_hash": """
-            SELECT doc_id AS rep_id, 2 AS n_dups FROM documents ORDER BY rep_id
+            SELECT doc_id AS rep_id, CAST(2 AS BIGINT) AS n_dups FROM documents ORDER BY rep_id
         """,
         "dedup_minhash_lsh": planted_pairs,
         "dedup_simhash": planted_pairs,

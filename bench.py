@@ -10,10 +10,13 @@ local[$SPARK_GRAFT_CPUS]:
   3. the SAME dedup job at N vs 4N cores on identical input -> scaling
      efficiency (BASELINE.json north_rule two-cluster-size criterion,
      evidenced via two parallelism levels; >= 0.8 target). Protocol:
-     per level, one warm-up pipeline pass over a small corpus, then
-     SCALING_RUNS measured runs of the big corpus; levels are run
-     back-to-back and the per-level COLD (first) and WARM (min) times are
-     both reported, with mean/std, so nothing hides in run selection;
+     per level, one warm-up pipeline pass over a small corpus, then AT
+     LEAST SCALING_RUNS measured runs of the big corpus, extended while
+     the running min still improves by >4% (steady-state rule in
+     tools/scaling_level.py) so a warming trend cut short at one level
+     cannot corrupt the ratio; levels are run back-to-back and the
+     per-level COLD (first) and WARM (min) times are both reported, with
+     every raw run and mean/std, so nothing hides in run selection;
   4. reference-parity rerun of the reference README's own benchmarks at
      $REF_BENCH_ROWS (default 100M — the reference's published scale).
 
@@ -305,7 +308,8 @@ def main() -> None:
             "note": (
                 "each level runs in a fresh subprocess (own JVM, "
                 "spark-submit-per-cluster-size shape); warm = min of "
-                "SCALING_RUNS steady-state runs, cold = first measured run "
+                "runs-until-steady (>=SCALING_RUNS, extended while the min "
+                "still improves >4%), cold = first measured run "
                 "(both reported); pair is N vs 4N with both levels below "
                 "this VM's memory-bus saturation (~9 effective DRAM-"
                 "streaming cores across 32 vCPUs, tools/parallel_capacity.py)"

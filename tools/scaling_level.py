@@ -5,8 +5,17 @@ Each parallelism level gets its own interpreter + JVM — the north rule's
 level's JVM aging (GC pressure, heap fragmentation from the full-machine
 phase) from polluting another's timings.
 
-Usage: python tools/scaling_level.py <cores> <runs> <big_parquet> <warm_parquet>
+Usage: python tools/scaling_level.py <cores> <min_runs> <big_parquet> <warm_parquet>
 Prints one JSON line: {cores, runs[], cold_sec, warm_min_sec, mean_sec, std_sec}.
+
+Runs until STEADY STATE, not a fixed count: at least <min_runs> measured
+runs, continuing while the latest run still improves the running min by
+more than 4% (cap: SPARK_GRAFT_SCALING_MAX_RUNS, default min_runs+3).
+Rationale: page-cache/JIT/allocator warming can span 3+ runs on this host
+(a measured 3-run sequence at 4 cores was 99 -> 57 -> 42 s, still falling
+when a fixed budget stopped it); cutting the trend short at one level and
+not the other corrupts the N-vs-4N efficiency ratio. The rule is symmetric
+across levels and every raw run is reported, so nothing hides in selection.
 """
 
 from __future__ import annotations
@@ -28,10 +37,14 @@ def main() -> None:
     warm_workers(spark, cores)
     run_dedup_job(spark, spark.read.parquet(warm), os.path.join(DATA_DIR, f"warm_ckpt_{cores}"))
     pages = spark.read.parquet(big)
-    times = [
-        run_dedup_job(spark, pages, os.path.join(DATA_DIR, f"bench_ckpt_{cores}"))
-        for _ in range(runs)
-    ]
+    max_runs = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_RUNS", str(runs + 3)))
+    times: list[float] = []
+    for _ in range(max_runs):
+        prev_min = min(times) if times else None
+        t = run_dedup_job(spark, pages, os.path.join(DATA_DIR, f"bench_ckpt_{cores}"))
+        times.append(t)
+        if len(times) >= runs and (prev_min is None or t > prev_min * 0.96):
+            break  # steady: latest run no longer improves the min by >4%
     print(
         json.dumps(
             {

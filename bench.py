@@ -20,8 +20,13 @@ local[$SPARK_GRAFT_CPUS]:
   4. reference-parity rerun of the reference README's own benchmarks at
      $REF_BENCH_ROWS (default 100M — the reference's published scale).
 
-JSON keys: metric/value/unit/queries/sf (driver contract) plus dedup{...},
-scaling{...} and reference_parity{...}.
+Output contract (fixed in round 3 — the round-2 line outgrew the driver's
+tail capture and was recorded as ``parsed: null``): stdout carries ONE
+COMPACT JSON line (< ~1 KB: headline seconds, docs/sec, recall, scaling
+efficiency warm+cold, per-query warm seconds, a 3-number parity summary);
+the full run-level detail (cold timings, every raw run per level, notes,
+the complete reference-parity table) is written to BENCH_DETAIL.json next
+to this file and referenced by the ``detail`` key.
 """
 
 from __future__ import annotations
@@ -172,7 +177,9 @@ def ensure_corpora(spark) -> tuple[str, str, str]:
 
     out = []
     for n, parts in ((BENCH_DOCS, 128), (SCALING_DOCS, 128), (WARM_DOCS, 32)):
-        path = os.path.join(DATA_DIR, f"bench_corpus_{n}")
+        # partition count is part of the cache key: a pre-existing corpus of
+        # the same size but an older layout must not be silently reused
+        path = os.path.join(DATA_DIR, f"bench_corpus_{n}_p{parts}")
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             generate_corpus_distributed(spark, n, partitions=parts).write.mode(
                 "overwrite"
@@ -198,6 +205,13 @@ def measure_level(cores: int, big: str, warm: str, runs: int) -> dict:
     selection rules visible, nothing cherry-picked silently."""
     import subprocess
 
+    # Timeout scales with the worst case: the run cap (runs+3 by default in
+    # scaling_level.py) times a per-run budget sized for 1-core passes over
+    # the scaling corpus under documented 1.7x host variance (~540 s), plus
+    # warm-up/session setup. Env-overridable for slower hosts.
+    max_runs = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_RUNS", str(runs + 3)))
+    per_run_budget = int(os.environ.get("SPARK_GRAFT_RUN_BUDGET_SEC", "600"))
+    timeout = max_runs * per_run_budget + 300
     proc = subprocess.run(
         [
             sys.executable,
@@ -209,7 +223,7 @@ def measure_level(cores: int, big: str, warm: str, runs: int) -> dict:
         ],
         capture_output=True,
         text=True,
-        timeout=3600,
+        timeout=timeout,
     )
     for line in reversed(proc.stdout.strip().splitlines()):
         if line.startswith("{"):
@@ -281,49 +295,82 @@ def main() -> None:
     # --- phase 3: reference parity at the reference's own scale -------------
     parity = reference_parity()
 
+    # parity summary for the compact line: worst wall-time ratio vs the
+    # reference's published seconds plus the one estimator-class divergence
+    parity_summary: dict = {}
+    if isinstance(parity, dict) and "queries" in parity:
+        ratios = {
+            k: round(v / parity["reference_sec"][k], 3)
+            for k, v in parity["queries"].items()
+            if parity.get("reference_sec", {}).get(k)
+        }
+        if ratios:
+            parity_summary["max_ratio_vs_ref"] = max(ratios.values())
+            parity_summary["median_ratio_vs_ref"] = round(
+                statistics.median(ratios.values()), 3
+            )
+        acc = parity.get("accuracy", {})
+        if "cpc_err_pct" in acc:
+            parity_summary["cpc_err_pct"] = acc["cpc_err_pct"]
+        parity_summary["rows"] = parity.get("rows", REF_ROWS)
+
+    detail = {
+        "queries_cold": queries_cold,
+        "dedup_full": full,
+        "scaling_low": lo,
+        "scaling_high": hi,
+        "throughput_low": round(thr_lo, 1),
+        "throughput_high": round(thr_hi, 1),
+        "reference_parity": parity,
+        "scaling_note": (
+            "each level runs in a fresh subprocess (own JVM, "
+            "spark-submit-per-cluster-size shape); warm = min of "
+            "runs-until-steady (>=SCALING_RUNS, extended until 2 consecutive "
+            "runs fail to improve the min >4%), cold = first measured run "
+            "(both reported); pair is N vs 4N with both levels below this "
+            "VM's memory-bus saturation (~9 effective DRAM-streaming cores "
+            "across 32 vCPUs, tools/parallel_capacity.py); full-machine "
+            "throughput under dedup.docs_per_sec"
+        ),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    # ONE COMPACT LINE (< ~1 KB) — the driver's tail capture truncated the
+    # round-2 line; everything bulky now lives in BENCH_DETAIL.json.
     result = {
         "metric": "dedup_pipeline_wall_seconds",
         "value": round(t_full, 3),
         "unit": "sec",
         "sf": _sf_label(SF_DIR),
         "queries": queries,
-        "queries_cold": queries_cold,
         "dedup": {
             "n_docs": n_docs,
             "docs_per_sec": round(thr_full, 1),
-            "full_machine_cores": CPUS,
-            "runs": full["runs"],
-            "cold_sec": full["cold_sec"],
-            "dup_pair_recall": round(recall, 4),
+            "cores": CPUS,
+            "recall": round(recall, 4),
             "n_truth_pairs": n_truth,
         },
         "scaling": {
             "low_cores": SCALING_LOW,
             "high_cores": SCALING_HIGH,
             "n_docs": n_scaling,
-            "low": lo,
-            "high": hi,
             "t_low_sec": lo["warm_min_sec"],
             "t_high_sec": hi["warm_min_sec"],
-            "throughput_low": round(thr_lo, 1),
-            "throughput_high": round(thr_hi, 1),
             "efficiency": round(eff_warm, 3),
             "efficiency_cold": round(eff_cold, 3),
-            "note": (
-                "each level runs in a fresh subprocess (own JVM, "
-                "spark-submit-per-cluster-size shape); warm = min of "
-                "runs-until-steady (>=SCALING_RUNS, extended while the min "
-                "still improves >4%), cold = first measured run "
-                "(both reported); pair is N vs 4N with both levels below "
-                "this VM's memory-bus saturation (~9 effective DRAM-"
-                "streaming cores across 32 vCPUs, tools/parallel_capacity.py)"
-                "; full-machine throughput under dedup.docs_per_sec"
-            ),
         },
-        "reference_parity": parity,
+        "parity": parity_summary,
+        "detail": "BENCH_DETAIL.json",
         "total_bench_sec": round(time.time() - t_total, 1),
     }
-    print(json.dumps(result))
+    line = json.dumps(result, separators=(",", ":"))
+    print(line)
+    if len(line) > 1400:  # defensive: never regress the parse contract again
+        sys.stderr.write(f"WARNING: bench line {len(line)} bytes > 1400\n")
 
 
 if __name__ == "__main__":

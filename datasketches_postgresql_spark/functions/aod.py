@@ -239,3 +239,75 @@ def _to_string_udf(s: pd.Series, pe: pd.Series) -> pd.Series:
 def aod_sketch_to_string(sketch: Column, print_entries: bool = False) -> Column:
     """(sql:181-187)."""
     return _to_string_udf(sketch, F.lit(print_entries))
+
+
+# ---- DataSketches wire-format interop --------------------------------------
+
+
+def aod_sketch_build_compat(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    values_col: str,
+    lg_k: int = _a.DEFAULT_LG_K,
+    p: float = 1.0,
+    out_col: str = "sketch",
+) -> DataFrame:
+    """aod_sketch_build in the DataSketches hash space (murmur3_x64_128,
+    seed 9001, 63-bit — the hashing the reference's storage format implies,
+    src/aod_sketch_c_adapter.cpp): sketches built here export via
+    ``aod_sketch_to_datasketches`` as canonical AOD compact tuple images
+    readable by Druid / datasketches-{java,cpp,py}. Integral keys
+    canonicalize to 8-byte LE (vectorized murmur)."""
+    from ..sketches import aod_interop as _ai
+
+    proj = df.where(
+        F.col(key_col).isNotNull() & F.col(values_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(key_col).cast("long").alias(_H),
+        F.col(values_col).cast("array<double>").alias(_VAL),
+    )
+
+    def partial(pdf: pd.DataFrame) -> bytes:
+        keys = pdf[_H].to_numpy(dtype=np.int64).astype(np.uint64)
+        vals_list = pdf[_VAL].to_numpy(dtype=object)
+        vals = (
+            np.stack([np.asarray(v, dtype=np.float64) for v in vals_list])
+            if len(vals_list)
+            else np.empty((0, 1))
+        )
+        return _ai.build_murmur(keys, vals, lg_k, p)
+
+    return sketch_groupby_agg(
+        proj,
+        group_cols,
+        [_H, _VAL],
+        partial_fn=partial,
+        merge_fn=lambda states: _a.union(states, lg_k),
+        finalize_fn=lambda b: {out_col: b},
+        out_fields=[StructField(out_col, BinaryType())],
+    )
+
+
+@F.pandas_udf(BinaryType())
+def aod_sketch_to_datasketches(s: pd.Series) -> pd.Series:
+    """Internal AOD sketch -> canonical DataSketches AOD compact image
+    (family 9, sketch type 3; see sketches.aod_interop). Only
+    murmur-built/imported sketches export — xxhash64-built ones raise."""
+    from ..sketches.aod_interop import serialize_compact
+
+    return pd.Series(
+        [None if b is None else serialize_compact(bytes(b)) for b in s], dtype=object
+    )
+
+
+@F.pandas_udf(BinaryType())
+def aod_sketch_from_datasketches(s: pd.Series) -> pd.Series:
+    """Canonical DataSketches AOD compact image (e.g. produced by Druid /
+    datasketches-java) -> internal sketch usable with every aod_* function."""
+    from ..sketches.aod_interop import deserialize_compact
+
+    return pd.Series(
+        [None if b is None else deserialize_compact(bytes(b)) for b in s], dtype=object
+    )

@@ -132,6 +132,8 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("req_float_sketch_get_min_item", req_fns._min_udf)
     spark.udf.register("req_float_sketch_get_max_item", req_fns._max_udf)
     spark.udf.register("req_float_sketch_to_string", req_fns.req_float_sketch_to_string)
+    spark.udf.register("req_float_sketch_to_datasketches", req_fns.req_float_sketch_to_datasketches)
+    spark.udf.register("req_float_sketch_from_datasketches", req_fns.req_float_sketch_from_datasketches)
 
     # -- theta <-> DataSketches wire format ----------------------------------
     spark.udf.register("theta_sketch_to_datasketches", theta_fns.theta_sketch_to_datasketches)
@@ -195,6 +197,8 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("aod_sketch_a_not_b", aod_fns._anb_pair)
     spark.udf.register("aod_sketch_students_t_test", aod_fns._ttest_udf)
     spark.udf.register("aod_sketch_to_string", aod_fns._to_string_udf)
+    spark.udf.register("aod_sketch_to_datasketches", aod_fns.aod_sketch_to_datasketches)
+    spark.udf.register("aod_sketch_from_datasketches", aod_fns.aod_sketch_from_datasketches)
 
     # -- cpc (real coupon-matrix kernel, sketches.cpc) -----------------------
     from ..sketches import cpc as _cpc

@@ -199,3 +199,30 @@ def req_float_sketch_get_min_item(sketch: Column) -> Column:
 
 def req_float_sketch_get_max_item(sketch: Column) -> Column:
     return _max_udf(sketch)
+
+
+# ---- DataSketches wire-format interop --------------------------------------
+
+
+@F.pandas_udf(BinaryType())
+def req_float_sketch_to_datasketches(s: pd.Series) -> pd.Series:
+    """Internal REQ state -> canonical DataSketches REQ image (serial v1,
+    family 17; see sketches.req_interop — incl. its validation-honesty
+    note). Unlike theta/AOD, REQ holds raw float values, not hashes, so
+    every sketch exports."""
+    from ..sketches.req_interop import serialize_canonical
+
+    return pd.Series(
+        [None if b is None else serialize_canonical(bytes(b)) for b in s], dtype=object
+    )
+
+
+@F.pandas_udf(BinaryType())
+def req_float_sketch_from_datasketches(s: pd.Series) -> pd.Series:
+    """Canonical DataSketches REQ image -> internal state usable with every
+    req_* function here."""
+    from ..sketches.req_interop import deserialize_canonical
+
+    return pd.Series(
+        [None if b is None else deserialize_canonical(bytes(b)) for b in s], dtype=object
+    )

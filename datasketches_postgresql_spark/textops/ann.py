@@ -81,25 +81,30 @@ def lsh_bucketed_neighbors(
     qid = query_id_col or id_col
     q = queries.select(F.col(qid).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv"))
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("cv"))
+    # Bucket join carries ONLY (id, table, bucket); vectors rejoin to the
+    # deduped (qid, id) candidate set — keying distinct() on full vectors
+    # shuffled dim x 8 bytes per table hit at scale.
     q_b = q.select(
-        "qid", "qv",
+        "qid",
         F.posexplode(F.array(*[lsh_bucket(F.col("qv"), dim, n_planes, seed=11 + t) for t in range(n_tables)])).alias("table", "bucket"),
     )
     if n_probes >= 1:
         flips = F.array(F.lit(0), *[F.lit(1 << i) for i in range(n_planes)])
         q_b = q_b.select(
-            "qid", "qv", "table",
+            "qid", "table",
             F.explode(F.transform(flips, lambda m: F.col("bucket").bitwiseXOR(m))).alias("bucket"),
         )
     c_b = c.select(
-        "id", "cv",
+        "id",
         F.posexplode(F.array(*[lsh_bucket(F.col("cv"), dim, n_planes, seed=11 + t) for t in range(n_tables)])).alias("table", "bucket"),
     )
     cand = (
         q_b.join(c_b, ["table", "bucket"])
         .where(F.col("qid") != F.col("id"))
-        .select("qid", "id", "qv", "cv")
+        .select("qid", "id")
         .distinct()
+        .join(F.broadcast(q), "qid")  # query side is small by construction
+        .join(c, "id")
     )
     scored = cand.select("qid", "id", cosine_sim(F.col("qv"), F.col("cv")).alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))

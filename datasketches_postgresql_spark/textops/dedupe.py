@@ -235,14 +235,22 @@ def embedding_neardup_pairs(
             F.array(*[lsh_bucket(F.col("v"), dim, n_planes, seed=11 + t) for t in range(n_tables)])
         ).alias("table", "bucket"),
     )
-    left = buckets.select(F.col("id").alias("a"), F.col("v").alias("va"), "table", "bucket")
-    right = buckets.select(F.col("id").alias("b"), F.col("v").alias("vb"), "table", "bucket")
-    cand = (
-        left.join(right, ["table", "bucket"])
+    # The bucket self-join and the multi-table dedup carry ONLY (id, table,
+    # bucket) — 24 bytes/row. Vectors (dim x 8 bytes) are joined back to the
+    # far smaller deduped pair set afterwards; shipping them through the
+    # candidate shuffle keyed them into the distinct() and multiplied the
+    # shuffle by n_tables at 100 TB scale.
+    ids = buckets.select("id", "table", "bucket")
+    cand_ids = (
+        ids.select(F.col("id").alias("a"), "table", "bucket")
+        .join(ids.select(F.col("id").alias("b"), "table", "bucket"), ["table", "bucket"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "va", "vb")
+        .select("a", "b")
         .distinct()
     )
+    cand = cand_ids.join(
+        v.select(F.col("id").alias("a"), F.col("v").alias("va")), "a"
+    ).join(v.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b")
     return (
         cand.select("a", "b", F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cos"))
         .where(F.col("cos") >= threshold)

@@ -121,11 +121,26 @@ def q_hll_distinct_langs_by_source(spark, sf_dir):
 
 
 def q_hll_union_reaggregate(spark, sf_dir):
-    sk = HLL.hll_sketch_build(_docs(spark, sf_dir), ["source"], "lang")
-    merged = HLL.hll_sketch_union_agg(sk, [], "sketch")
-    return merged.select(
-        HLL.hll_sketch_get_estimate("sketch").cast("bigint").alias("n_langs")
+    """Aggregate hll_sketch_union over stored per-source sketches PLUS the
+    pairwise union form (sql/datasketches_hll_sketch.sql:177-187) in one
+    gate (merged round-2 hll_union_reaggregate + hll_pair_union)."""
+    d = _docs(spark, sf_dir)
+    sk = HLL.hll_sketch_build(d, ["source"], "lang")
+    merged = HLL.hll_sketch_union_agg(sk, [], "sketch").select(
+        HLL.hll_sketch_get_estimate("sketch").cast("bigint").alias("n_langs_all")
     )
+    a = HLL.hll_sketch_build(d.where("source = 'src0'"), [], "lang").select(
+        F.col("sketch").alias("a")
+    )
+    b = HLL.hll_sketch_build(d.where("source = 'src1'"), [], "lang").select(
+        F.col("sketch").alias("b")
+    )
+    pair = a.crossJoin(b).select(
+        HLL.hll_sketch_get_estimate(HLL.hll_sketch_union(F.col("a"), F.col("b")))
+        .cast("bigint")
+        .alias("n_langs_pair")
+    )
+    return merged.crossJoin(pair)
 
 
 def q_cpc_distinct_users(spark, sf_dir):
@@ -152,45 +167,53 @@ def q_cpc_distinct_users(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-def q_kll_rank(spark, sf_dir):
-    sk = KLL.kll_double_sketch_build(_ev(spark, sf_dir), ["event_type"], "value", k=_KLL_EXACT_K)
-    return sk.select(
+def q_kll_rank_float_med(spark, sf_dir):
+    """kll_sketch_get_rank (double family) + the FLOAT variant's median in
+    one gate (inputs quantized to float32, result typed REAL —
+    sql/datasketches_kll_float_sketch.sql:113 returns real). Merged from the
+    round-2 kll_rank + kll_float_quantile gates so every gate fits the
+    driver's 50-row recording window."""
+    skd = KLL.kll_double_sketch_build(_ev(spark, sf_dir), ["event_type"], "value", k=_KLL_EXACT_K)
+    rank = skd.select(
         "event_type",
         F.round(KLL.kll_sketch_get_rank(F.col("sketch"), 100.0), 6).alias("rank_100"),
     )
+    skf = KLL.kll_float_sketch_build(_ev(spark, sf_dir), ["event_type"], "value", k=_KLL_EXACT_K)
+    med = skf.select(
+        "event_type",
+        KLL.kll_sketch_get_quantile(F.col("sketch"), 0.5).cast("float").alias("med_f"),
+    )
+    return rank.join(med, "event_type")
 
 
-def q_kll_median(spark, sf_dir):
+def q_kll_median_minmax_n(spark, sf_dir):
+    """kll get_quantile(0.5) + get_n/min_item/max_item in one gate (merged
+    round-2 kll_median + kll_minmax_n)."""
     sk = KLL.kll_double_sketch_build(_ev(spark, sf_dir), ["event_type"], "value", k=_KLL_EXACT_K)
     return sk.select(
         "event_type",
         KLL.kll_sketch_get_quantile(F.col("sketch"), 0.5).alias("med"),
-    )
-
-
-def q_kll_minmax_n(spark, sf_dir):
-    sk = KLL.kll_double_sketch_build(_ev(spark, sf_dir), ["event_type"], "value", k=_KLL_EXACT_K)
-    return sk.select(
-        "event_type",
         KLL.kll_sketch_get_n(F.col("sketch")).alias("n"),
         KLL.kll_sketch_get_min_item(F.col("sketch")).alias("vmin"),
         KLL.kll_sketch_get_max_item(F.col("sketch")).alias("vmax"),
     )
 
 
-def q_kll_pmf(spark, sf_dir):
+def q_kll_pmf_cdf(spark, sf_dir):
+    """kll_sketch_get_pmf + get_cdf over the same splits in one gate (merged
+    round-2 kll_pmf + kll_cdf); bin i carries its mass and the cumulative
+    rank at its upper split."""
     sk = KLL.kll_double_sketch_build(_ev(spark, sf_dir), [], "value", k=_KLL_EXACT_K)
     pmf = KLL.kll_sketch_get_pmf(F.col("sketch"), [50.0, 100.0, 150.0])
-    return sk.select(F.posexplode(pmf).alias("bin", "mass")).select(
-        "bin", F.round("mass", 6).alias("mass")
-    )
-
-
-def q_kll_cdf(spark, sf_dir):
-    sk = KLL.kll_double_sketch_build(_ev(spark, sf_dir), [], "value", k=_KLL_EXACT_K)
     cdf = KLL.kll_sketch_get_cdf(F.col("sketch"), [50.0, 100.0, 150.0])
-    return sk.select(F.posexplode(cdf).alias("split_idx", "cum")).select(
-        "split_idx", F.round("cum", 6).alias("cum")
+    return (
+        sk.select(pmf.alias("p"), cdf.alias("c"))
+        .select(F.posexplode("p").alias("bin", "mass"), F.col("c"))
+        .select(
+            "bin",
+            F.round("mass", 6).alias("mass"),
+            F.round(F.element_at("c", F.col("bin") + 1), 6).alias("cum"),
+        )
     )
 
 
@@ -242,16 +265,6 @@ def q_kll_histogram(spark, sf_dir):
     )
 
 
-def q_kll_float_quantile(spark, sf_dir):
-    """kll FLOAT variant: inputs quantized to float32, result typed REAL
-    (sql/datasketches_kll_float_sketch.sql:113 returns real)."""
-    sk = KLL.kll_float_sketch_build(_ev(spark, sf_dir), ["event_type"], "value", k=_KLL_EXACT_K)
-    return sk.select(
-        "event_type",
-        KLL.kll_sketch_get_quantile(F.col("sketch"), 0.5).cast("float").alias("med_f"),
-    )
-
-
 def q_theta_intersection_reaggregate(spark, sf_dir):
     """theta_sketch_intersection AGGREGATE over stored per-group sketches
     (sql/datasketches_theta_sketch.sql:155-163): users present in EVERY
@@ -263,11 +276,17 @@ def q_theta_intersection_reaggregate(spark, sf_dir):
     )
 
 
-def q_theta_to_string(spark, sf_dir):
-    """theta_sketch_to_string (sql:177-179) — deterministic in the exact
-    regime (theta=1.0, retained=count distinct)."""
-    sk = TH.theta_sketch_build(_ev(spark, sf_dir), [], "user_id")
-    return sk.select(TH.theta_sketch_to_string(F.col("sketch")).alias("summary"))
+def q_sketch_to_string(spark, sf_dir):
+    """theta_sketch_to_string (sql:177-179) + frequent_strings_sketch_
+    to_string (sql:95-101) in one gate (merged round-2 theta_to_string +
+    fi_to_string) — both deterministic in the exact regime."""
+    t = TH.theta_sketch_build(_ev(spark, sf_dir), [], "user_id").select(
+        TH.theta_sketch_to_string(F.col("sketch")).alias("theta_summary")
+    )
+    fi = FI.frequent_strings_sketch_build(_ev(spark, sf_dir), [], 6, "event_type").select(
+        FI.frequent_strings_sketch_to_string(F.col("sketch")).alias("fi_summary")
+    )
+    return t.crossJoin(fi)
 
 
 def q_theta_wire_roundtrip(spark, sf_dir):
@@ -357,23 +376,6 @@ def q_req_tail_accuracy(spark, sf_dir):
     )
 
 
-def q_hll_pair_union(spark, sf_dir):
-    """Pairwise hll_sketch_union (sql/datasketches_hll_sketch.sql:177-187)
-    over two stored sketches."""
-    d = _docs(spark, sf_dir)
-    a = HLL.hll_sketch_build(d.where("source = 'src0'"), [], "lang").select(
-        F.col("sketch").alias("a")
-    )
-    b = HLL.hll_sketch_build(d.where("source = 'src1'"), [], "lang").select(
-        F.col("sketch").alias("b")
-    )
-    return a.crossJoin(b).select(
-        HLL.hll_sketch_get_estimate(HLL.hll_sketch_union(F.col("a"), F.col("b")))
-        .cast("bigint")
-        .alias("n_langs")
-    )
-
-
 def q_hll_bounds_exact(spark, sf_dir):
     """hll_sketch_get_estimate_and_bounds (sql:165-171); LIST/SET-mode images
     are exact so bounds collapse to the estimate."""
@@ -452,17 +454,13 @@ def q_aod_estimate(spark, sf_dir):
     )
 
 
-def q_aod_means(spark, sf_dir):
+def q_aod_moments(spark, sf_dir):
+    """aod_sketch_to_means + to_variances (sql:225-231) in one gate (merged
+    round-2 aod_means + aod_variances)."""
     sk = AOD.aod_sketch_build(_aod_events(spark, sf_dir), [], "user_id", "vals")
     return sk.select(
-        F.round(AOD.aod_sketch_to_means("sketch").getItem(0), 6).alias("mean_user_sum")
-    )
-
-
-def q_aod_variances(spark, sf_dir):
-    sk = AOD.aod_sketch_build(_aod_events(spark, sf_dir), [], "user_id", "vals")
-    return sk.select(
-        F.round(AOD.aod_sketch_to_variances("sketch").getItem(0), 4).alias("var_user_sum")
+        F.round(AOD.aod_sketch_to_means("sketch").getItem(0), 6).alias("mean_user_sum"),
+        F.round(AOD.aod_sketch_to_variances("sketch").getItem(0), 4).alias("var_user_sum"),
     )
 
 
@@ -475,9 +473,16 @@ def q_aod_to_kll_median(spark, sf_dir):
 
 
 def q_aod_ttest(spark, sf_dir):
-    """Welch p-value between click-user and error-user per-user value sums.
-    No SQL oracle (Student-t CDF is not ANSI SQL); rows-only check — the
-    closed form is pytest-verified against known values."""
+    """Welch p-value between click-user and error-user per-user value sums —
+    now a HASH-CHECKABLE constant-true gate (round-2 feedback: this was one
+    of two no-oracle cells). The Student-t CDF is not ANSI SQL, so instead
+    the sketch p-value is asserted equal (1e-6) to the closed form evaluated
+    on EXACT per-user sums pulled from the raw table — a real equality in
+    the exact regime, where the sketch retains every user — and the
+    SQL-checkable group cardinalities ride along. The closed form itself is
+    pytest-verified against known values (tests/test_kernels.py)."""
+    from datasketches_postgresql_spark.sketches.stats import welch_t_test
+
     ev = _aod_events(spark, sf_dir)
     a = AOD.aod_sketch_build(ev.where("event_type = 'click'"), [], "user_id", "vals").select(
         F.col("sketch").alias("a")
@@ -485,18 +490,36 @@ def q_aod_ttest(spark, sf_dir):
     b = AOD.aod_sketch_build(ev.where("event_type = 'error'"), [], "user_id", "vals").select(
         F.col("sketch").alias("b")
     )
-    return a.crossJoin(b).select(
-        F.round(AOD.aod_sketch_students_t_test(F.col("a"), F.col("b")).getItem(0), 6).alias(
-            "p_value"
-        )
+    p_df = a.crossJoin(b).select(
+        AOD.aod_sketch_students_t_test(F.col("a"), F.col("b")).getItem(0).alias("p")
     )
-
-
-def q_fi_to_string(spark, sf_dir):
-    """frequent_strings_sketch_to_string (sql:95-101) — deterministic below
-    purge capacity (offset 0, items = #distinct)."""
-    sk = FI.frequent_strings_sketch_build(_ev(spark, sf_dir), [], 6, "event_type")
-    return sk.select(FI.frequent_strings_sketch_to_string(F.col("sketch")).alias("summary"))
+    stats = (
+        _ev(spark, sf_dir)
+        .where(F.col("event_type").isin("click", "error"))
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("value").alias("s"))
+        .groupBy("event_type")
+        .agg(F.avg("s").alias("m"), F.var_samp("s").alias("v"), F.count("*").alias("n"))
+        .collect()
+    )
+    d = {r["event_type"]: r for r in stats}
+    _, _, p_exact = welch_t_test(
+        d["click"]["m"], d["click"]["v"], d["click"]["n"],
+        d["error"]["m"], d["error"]["v"], d["error"]["n"],
+    )
+    counts = _ev(spark, sf_dir).agg(
+        F.countDistinct(F.when(F.col("event_type") == "click", F.col("user_id"))).alias(
+            "n_click_users"
+        ),
+        F.countDistinct(F.when(F.col("event_type") == "error", F.col("user_id"))).alias(
+            "n_error_users"
+        ),
+    )
+    return p_df.crossJoin(counts).select(
+        (F.abs(F.col("p") - F.lit(float(p_exact))) < 1e-6).cast("int").alias("p_matches_exact"),
+        "n_click_users",
+        "n_error_users",
+    )
 
 
 def q_aod_pair_setops(spark, sf_dir):
@@ -523,6 +546,59 @@ def q_aod_pair_setops(spark, sf_dir):
         .cast("bigint")
         .alias("n_click_only"),
         F.round(AOD.aod_sketch_to_means(inter).getItem(0), 6).alias("mean_sum_both"),
+    )
+
+
+def q_aod_wire_roundtrip(spark, sf_dir):
+    """DataSketches AOD wire-format interop gate (round-2 'what's missing'
+    #2): build in the murmur3/9001 hash space (aod_sketch_build_compat),
+    serialize to the CANONICAL array-of-doubles compact tuple image (family
+    9, sketch type 3 — the format the reference's bytea columns hold,
+    sql/datasketches_aod_sketch.sql:31-35), re-import, and query estimate +
+    column mean — exact regime, so the round trip must reproduce the raw-SQL
+    answers precisely. Also asserts the image preamble."""
+    ev = _aod_events(spark, sf_dir)
+    sk = AOD.aod_sketch_build_compat(ev, [], "user_id", "vals")
+    wire = sk.select(AOD.aod_sketch_to_datasketches(F.col("sketch")).alias("img"))
+    back = wire.select(
+        F.conv(F.hex(F.substring("img", 2, 1)), 16, 10).cast("int").alias("serial_version"),
+        F.conv(F.hex(F.substring("img", 3, 1)), 16, 10).cast("int").alias("family"),
+        F.conv(F.hex(F.substring("img", 4, 1)), 16, 10).cast("int").alias("sketch_type"),
+        AOD.aod_sketch_from_datasketches(F.col("img")).alias("sketch"),
+    )
+    return back.select(
+        "serial_version",
+        "family",
+        "sketch_type",
+        AOD.aod_sketch_get_estimate("sketch").cast("bigint").alias("distinct_users"),
+        F.round(AOD.aod_sketch_to_means("sketch").getItem(0), 6).alias("mean_user_sum"),
+    )
+
+
+def q_req_wire_roundtrip(spark, sf_dir):
+    """DataSketches REQ wire-format interop gate: per-group REQ in the exact
+    regime, serialize to the canonical REQ image (family 17; see
+    sketches.req_interop incl. its validation-honesty note), re-import, and
+    query n + inclusive rank — the round trip must reproduce the exact
+    answers."""
+    sk = REQ.req_float_sketch_build(
+        _ev(spark, sf_dir), ["event_type"], "value", k=_KLL_EXACT_K
+    )
+    wire = sk.select(
+        "event_type", REQ.req_float_sketch_to_datasketches(F.col("sketch")).alias("img")
+    )
+    back = wire.select(
+        "event_type",
+        F.conv(F.hex(F.substring("img", 3, 1)), 16, 10).cast("int").alias("family"),
+        REQ.req_float_sketch_from_datasketches(F.col("img")).alias("sketch"),
+    )
+    return back.select(
+        "event_type",
+        "family",
+        REQ.req_float_sketch_get_n(F.col("sketch")).alias("n"),
+        F.round(
+            REQ.req_float_sketch_get_rank(F.col("sketch"), 100.0, inclusive=True), 6
+        ).alias("rank_100_incl"),
     )
 
 
@@ -572,17 +648,17 @@ def q_window_top_user(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by full text AND by 128-bit content hash in one gate
+    (merged round-2 dedup_exact + dedup_exact_by_hash): both paths must
+    find identical groups."""
     both = _docs_with_copies(spark, sf_dir)
-    return DD.exact_dup_groups(both, "doc_id", "text").select(
+    g1 = DD.exact_dup_groups(both, "doc_id", "text").select(
         "rep_id", F.col("n_dups").cast("bigint").alias("n_dups")
     )
-
-
-def q_dedup_exact_by_hash(spark, sf_dir):
-    both = _docs_with_copies(spark, sf_dir)
-    return DD.exact_dup_groups_by_hash(both, "doc_id", "text").select(
-        "rep_id", F.col("n_dups").cast("bigint").alias("n_dups")
+    g2 = DD.exact_dup_groups_by_hash(both, "doc_id", "text").select(
+        "rep_id", F.col("n_dups").cast("bigint").alias("n_dups_hash")
     )
+    return g1.join(g2, "rep_id")
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -628,11 +704,28 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (rows-only: bucket membership is not SQL-expressible;
-    recall vs brute force is pytest-verified)."""
+    """LSH-bucketed ANN — now a HASH-CHECKABLE constant-true gate (round-2
+    feedback: this was one of two no-oracle cells). Bucket membership is not
+    SQL-expressible, so the query computes brute-force cosine top-k IN the
+    same job and asserts LSH recall against it (>=0.6; the pytest
+    measurement of the identical config on random 64-dim embeddings — the
+    sign-LSH worst case — is >=0.7, tests/test_textops.py)."""
     e = _embs(spark, sf_dir)
     qs = e.where("vec_id < 5")
-    return ANN.lsh_bucketed_neighbors(e, qs, "vec_id", "embedding", dim=64, k=5)
+    exact = ANN.cosine_topk(e, qs, "vec_id", "embedding", k=5).select("qid", "id")
+    approx = (
+        ANN.lsh_bucketed_neighbors(e, qs, "vec_id", "embedding", dim=64, k=5)
+        .select("qid", "id")
+        .withColumn("hit", F.lit(1))
+    )
+    j = exact.join(approx, ["qid", "id"], "left")
+    return j.agg(
+        F.countDistinct("qid").alias("n_queries"),
+        (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count("*")).alias("recall"),
+    ).select(
+        "n_queries",
+        (F.col("recall") >= 0.6).cast("int").alias("recall_ok"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -640,17 +733,14 @@ def q_ann_lsh(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-def q_text_tokens(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id", TA.token_count(F.col("text")).cast("bigint").alias("n_tokens")
-    )
-
-
-def q_text_quality(spark, sf_dir):
+def q_text_tokens_quality(spark, sf_dir):
+    """Token counting + quality scoring in one gate (merged round-2
+    text_tokens + text_quality); all three scores are JVM-native
+    expressions over the same scan."""
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
+        TA.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
         F.round(TA.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
         F.round(TA.mean_word_len(F.col("text")), 6).alias("mean_word_len"),
     )
@@ -733,62 +823,66 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """49 gates, every one inside the driver's 50-row recording window
+    (round 2 recorded exactly 50 of 55 and silently dropped the rest, the
+    flagship included). Eight low-value round-2 gate PAIRS are merged into
+    single gates covering both operators; two new wire gates (AOD, REQ)
+    are added. Ordered flagship-first so a tighter future cap still records
+    the queries that matter most."""
     return {
-        "theta_distinct_users_by_type": q_theta_distinct_users_by_type,
-        "theta_union_reaggregate": q_theta_union_reaggregate,
-        "theta_set_ops": q_theta_set_ops,
-        "theta_bounds_exact": q_theta_bounds_exact,
-        "hll_distinct_langs_by_source": q_hll_distinct_langs_by_source,
-        "hll_union_reaggregate": q_hll_union_reaggregate,
-        "cpc_distinct_users": q_cpc_distinct_users,
-        "kll_rank": q_kll_rank,
-        "kll_median": q_kll_median,
-        "kll_minmax_n": q_kll_minmax_n,
-        "kll_pmf": q_kll_pmf,
-        "kll_cdf": q_kll_cdf,
-        "kll_merge_median": q_kll_merge_median,
-        "kll_quantiles": q_kll_quantiles,
-        "kll_histogram": q_kll_histogram,
-        "kll_float_quantile": q_kll_float_quantile,
-        "theta_intersection_reaggregate": q_theta_intersection_reaggregate,
-        "theta_to_string": q_theta_to_string,
-        "theta_wire_roundtrip": q_theta_wire_roundtrip,
-        "kll_wire_roundtrip": q_kll_wire_roundtrip,
-        "hll_tgt4_distinct": q_hll_tgt4_distinct,
-        "req_tail_accuracy": q_req_tail_accuracy,
-        "hll_pair_union": q_hll_pair_union,
-        "hll_bounds_exact": q_hll_bounds_exact,
-        "fi_to_string": q_fi_to_string,
-        "aod_pair_setops": q_aod_pair_setops,
-        "req_rank_inclusive": q_req_rank_inclusive,
-        "quantiles_double_q25": q_quantiles_double_q25,
-        "fi_heavy_event_types": q_fi_heavy_event_types,
-        "fi_weighted_sources": q_fi_weighted_sources,
-        "fi_wire_roundtrip": q_fi_wire_roundtrip,
-        "fi_merge": q_fi_merge,
-        "aod_estimate": q_aod_estimate,
-        "aod_means": q_aod_means,
-        "aod_variances": q_aod_variances,
-        "aod_to_kll_median": q_aod_to_kll_median,
-        "aod_ttest": q_aod_ttest,
-        "relational_rollup": q_relational_rollup,
-        "tpch_q1_like": q_tpch_q1_like,
-        "window_top_user": q_window_top_user,
+        # -- flagship + the five queries the round-2 cap dropped -------------
+        "webdedup_clusters": q_webdedup_clusters,
+        "doclen_kll_by_lang": q_doclen_kll_by_lang,
+        "text_langid": q_text_langid,
+        "multimodal_decode": q_multimodal_decode,
+        "text_fingerprint": q_text_fingerprint,
+        # -- dedup / training-data operators ----------------------------------
         "dedup_exact": q_dedup_exact,
-        "dedup_exact_by_hash": q_dedup_exact_by_hash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
-        "text_tokens": q_text_tokens,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "doclen_kll_by_lang": q_doclen_kll_by_lang,
-        "multimodal_decode": q_multimodal_decode,
-        "webdedup_clusters": q_webdedup_clusters,
+        "text_tokens_quality": q_text_tokens_quality,
+        # -- sketch families ---------------------------------------------------
+        "theta_distinct_users_by_type": q_theta_distinct_users_by_type,
+        "theta_union_reaggregate": q_theta_union_reaggregate,
+        "theta_intersection_reaggregate": q_theta_intersection_reaggregate,
+        "theta_set_ops": q_theta_set_ops,
+        "theta_bounds_exact": q_theta_bounds_exact,
+        "theta_wire_roundtrip": q_theta_wire_roundtrip,
+        "hll_distinct_langs_by_source": q_hll_distinct_langs_by_source,
+        "hll_union_reaggregate": q_hll_union_reaggregate,
+        "hll_bounds_exact": q_hll_bounds_exact,
+        "hll_tgt4_distinct": q_hll_tgt4_distinct,
+        "cpc_distinct_users": q_cpc_distinct_users,
+        "kll_rank_float_med": q_kll_rank_float_med,
+        "kll_median_minmax_n": q_kll_median_minmax_n,
+        "kll_pmf_cdf": q_kll_pmf_cdf,
+        "kll_merge_median": q_kll_merge_median,
+        "kll_quantiles": q_kll_quantiles,
+        "kll_histogram": q_kll_histogram,
+        "kll_wire_roundtrip": q_kll_wire_roundtrip,
+        "req_rank_inclusive": q_req_rank_inclusive,
+        "req_tail_accuracy": q_req_tail_accuracy,
+        "req_wire_roundtrip": q_req_wire_roundtrip,
+        "quantiles_double_q25": q_quantiles_double_q25,
+        "fi_heavy_event_types": q_fi_heavy_event_types,
+        "fi_weighted_sources": q_fi_weighted_sources,
+        "fi_merge": q_fi_merge,
+        "fi_wire_roundtrip": q_fi_wire_roundtrip,
+        "sketch_to_string": q_sketch_to_string,
+        "aod_estimate": q_aod_estimate,
+        "aod_moments": q_aod_moments,
+        "aod_pair_setops": q_aod_pair_setops,
+        "aod_to_kll_median": q_aod_to_kll_median,
+        "aod_ttest": q_aod_ttest,
+        "aod_wire_roundtrip": q_aod_wire_roundtrip,
+        # -- host-delegated relational shapes ---------------------------------
+        "relational_rollup": q_relational_rollup,
+        "tpch_q1_like": q_tpch_q1_like,
+        "window_top_user": q_window_top_user,
     }
 
 
@@ -824,25 +918,44 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source ORDER BY source
         """,
         "hll_union_reaggregate": """
-            SELECT count(DISTINCT lang) AS n_langs FROM documents
+            SELECT (SELECT count(DISTINCT lang) FROM documents) AS n_langs_all,
+                   (SELECT count(DISTINCT lang) FROM documents
+                    WHERE source IN ('src0', 'src1')) AS n_langs_pair
         """,
         "cpc_distinct_users": """
             SELECT 1 AS within_3pct, count(DISTINCT user_id) AS distinct_users
             FROM events
         """,
-        "kll_rank": """
-            SELECT event_type,
-                   round(sum(CASE WHEN value < 100 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS rank_100
-            FROM events GROUP BY event_type ORDER BY event_type
+        "kll_rank_float_med": """
+            WITH rk AS (
+              SELECT event_type,
+                     round(sum(CASE WHEN value < 100 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS rank_100
+              FROM events GROUP BY event_type),
+            r AS (
+              SELECT event_type, CAST(value AS REAL) AS v,
+                     row_number() OVER (PARTITION BY event_type ORDER BY CAST(value AS REAL)) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events),
+            md AS (
+              SELECT event_type, CAST(min(v) AS REAL) AS med_f FROM r
+              WHERE rn > n * 0.5 GROUP BY event_type)
+            SELECT rk.event_type, rk.rank_100, md.med_f
+            FROM rk JOIN md USING (event_type) ORDER BY event_type
         """,
-        "kll_median": """
+        "kll_median_minmax_n": """
             WITH r AS (
               SELECT event_type, value,
                      row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
                      count(*) OVER (PARTITION BY event_type) AS n
-              FROM events)
-            SELECT event_type, min(value) AS med FROM r
-            WHERE rn > n * 0.5 GROUP BY event_type ORDER BY event_type
+              FROM events),
+            md AS (
+              SELECT event_type, min(value) AS med FROM r
+              WHERE rn > n * 0.5 GROUP BY event_type),
+            st AS (
+              SELECT event_type, count(*) AS n, min(value) AS vmin, max(value) AS vmax
+              FROM events GROUP BY event_type)
+            SELECT st.event_type, md.med, st.n, st.vmin, st.vmax
+            FROM st JOIN md USING (event_type) ORDER BY event_type
         """,
         "kll_wire_roundtrip": """
             WITH r AS (
@@ -854,29 +967,23 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn > n * 0.5 THEN value END) AS med
             FROM r GROUP BY event_type ORDER BY event_type
         """,
-        "kll_minmax_n": """
-            SELECT event_type, count(*) AS n, min(value) AS vmin, max(value) AS vmax
-            FROM events GROUP BY event_type ORDER BY event_type
-        """,
-        "kll_pmf": """
+        "kll_pmf_cdf": """
             WITH t AS (SELECT count(*) * 1.0 AS n FROM events)
-            SELECT 0 AS bin, round((SELECT count(*) FROM events WHERE value < 50) / n, 6) AS mass FROM t
+            SELECT 0 AS bin,
+                   round((SELECT count(*) FROM events WHERE value < 50) / n, 6) AS mass,
+                   round((SELECT count(*) FROM events WHERE value < 50) / n, 6) AS cum FROM t
             UNION ALL
-            SELECT 1, round((SELECT count(*) FROM events WHERE value >= 50 AND value < 100) / n, 6) FROM t
+            SELECT 1,
+                   round((SELECT count(*) FROM events WHERE value >= 50 AND value < 100) / n, 6),
+                   round((SELECT count(*) FROM events WHERE value < 100) / n, 6) FROM t
             UNION ALL
-            SELECT 2, round((SELECT count(*) FROM events WHERE value >= 100 AND value < 150) / n, 6) FROM t
+            SELECT 2,
+                   round((SELECT count(*) FROM events WHERE value >= 100 AND value < 150) / n, 6),
+                   round((SELECT count(*) FROM events WHERE value < 150) / n, 6) FROM t
             UNION ALL
-            SELECT 3, round((SELECT count(*) FROM events WHERE value >= 150) / n, 6) FROM t
-        """,
-        "kll_cdf": """
-            WITH t AS (SELECT count(*) * 1.0 AS n FROM events)
-            SELECT 0 AS split_idx, round((SELECT count(*) FROM events WHERE value < 50) / n, 6) AS cum FROM t
-            UNION ALL
-            SELECT 1, round((SELECT count(*) FROM events WHERE value < 100) / n, 6) FROM t
-            UNION ALL
-            SELECT 2, round((SELECT count(*) FROM events WHERE value < 150) / n, 6) FROM t
-            UNION ALL
-            SELECT 3, 1.0 FROM t
+            SELECT 3,
+                   round((SELECT count(*) FROM events WHERE value >= 150) / n, 6),
+                   1.0 FROM t
         """,
         "kll_merge_median": """
             WITH r AS (
@@ -912,15 +1019,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT bin, round(CAST(count(*) AS DOUBLE), 3) AS cnt
             FROM binned GROUP BY bin ORDER BY bin
         """,
-        "kll_float_quantile": """
-            WITH r AS (
-              SELECT event_type, CAST(value AS REAL) AS v,
-                     row_number() OVER (PARTITION BY event_type ORDER BY CAST(value AS REAL)) AS rn,
-                     count(*) OVER (PARTITION BY event_type) AS n
-              FROM events)
-            SELECT event_type, CAST(min(v) AS REAL) AS med_f FROM r
-            WHERE rn > n * 0.5 GROUP BY event_type ORDER BY event_type
-        """,
         "theta_intersection_reaggregate": """
             SELECT count(*) AS n_all_types FROM (
               SELECT user_id FROM events GROUP BY user_id
@@ -939,7 +1037,7 @@ def oracle_sql() -> dict[str, str]:
         "req_tail_accuracy": """
             SELECT 1 AS tail_within_10pct, count(*) AS n FROM events
         """,
-        "theta_to_string": """
+        "sketch_to_string": """
             SELECT concat(
               '### Theta sketch summary:', chr(10),
               '   lg_k            : 12', chr(10),
@@ -947,11 +1045,14 @@ def oracle_sql() -> dict[str, str]:
               '   theta (fraction): 1.000000', chr(10),
               '   estimation mode : False', chr(10),
               '   estimate        : ', count(DISTINCT user_id), '.0', chr(10)
-            ) AS summary FROM events
-        """,
-        "hll_pair_union": """
-            SELECT count(DISTINCT lang) AS n_langs FROM documents
-            WHERE source IN ('src0', 'src1')
+            ) AS theta_summary,
+            concat(
+              '### Frequent strings sketch summary:', chr(10),
+              '   lg_k   : 6', chr(10),
+              '   items  : ', count(DISTINCT event_type), chr(10),
+              '   offset : 0', chr(10)
+            ) AS fi_summary
+            FROM events
         """,
         "hll_bounds_exact": """
             SELECT source,
@@ -959,14 +1060,6 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT lang) AS lb,
                    count(DISTINCT lang) AS ub
             FROM documents GROUP BY source ORDER BY source
-        """,
-        "fi_to_string": """
-            SELECT concat(
-              '### Frequent strings sketch summary:', chr(10),
-              '   lg_k   : 6', chr(10),
-              '   items  : ', count(DISTINCT event_type), chr(10),
-              '   offset : 0', chr(10)
-            ) AS summary FROM events
         """,
         "aod_pair_setops": """
             WITH c AS (SELECT user_id, sum(value) AS s FROM events
@@ -1025,13 +1118,32 @@ def oracle_sql() -> dict[str, str]:
         "aod_estimate": """
             SELECT count(DISTINCT user_id) AS distinct_users FROM events
         """,
-        "aod_means": """
-            SELECT round(avg(s), 6) AS mean_user_sum
+        "aod_moments": """
+            SELECT round(avg(s), 6) AS mean_user_sum,
+                   round(var_samp(s), 4) AS var_user_sum
             FROM (SELECT sum(value) AS s FROM events GROUP BY user_id)
         """,
-        "aod_variances": """
-            SELECT round(var_samp(s), 4) AS var_user_sum
-            FROM (SELECT sum(value) AS s FROM events GROUP BY user_id)
+        "aod_ttest": """
+            SELECT 1 AS p_matches_exact,
+                   count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS n_click_users,
+                   count(DISTINCT CASE WHEN event_type = 'error' THEN user_id END) AS n_error_users
+            FROM events
+        """,
+        "ann_lsh": """
+            SELECT count(DISTINCT vec_id) AS n_queries, 1 AS recall_ok
+            FROM embeddings WHERE vec_id < 5
+        """,
+        "aod_wire_roundtrip": """
+            WITH s AS (SELECT sum(value) AS s FROM events GROUP BY user_id)
+            SELECT 1 AS serial_version, 9 AS family, 3 AS sketch_type,
+                   (SELECT count(DISTINCT user_id) FROM events) AS distinct_users,
+                   round(avg(s), 6) AS mean_user_sum
+            FROM s
+        """,
+        "req_wire_roundtrip": """
+            SELECT event_type, 17 AS family, count(*) AS n,
+                   round(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS rank_100_incl
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "aod_to_kll_median": """
             WITH sums AS (SELECT CAST(CAST(sum(value) AS FLOAT) AS DOUBLE) AS s FROM events GROUP BY user_id),
@@ -1056,10 +1168,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, user_id, n FROM r WHERE rk = 1 ORDER BY event_type
         """,
         "dedup_exact": """
-            SELECT doc_id AS rep_id, CAST(2 AS BIGINT) AS n_dups FROM documents ORDER BY rep_id
-        """,
-        "dedup_exact_by_hash": """
-            SELECT doc_id AS rep_id, CAST(2 AS BIGINT) AS n_dups FROM documents ORDER BY rep_id
+            SELECT doc_id AS rep_id, CAST(2 AS BIGINT) AS n_dups,
+                   CAST(2 AS BIGINT) AS n_dups_hash
+            FROM documents ORDER BY rep_id
         """,
         "dedup_minhash_lsh": planted_pairs,
         "dedup_simhash": planted_pairs,
@@ -1099,12 +1210,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid, id, round(cos, 4) AS cos, rank FROM r WHERE rank <= 5
             ORDER BY qid, rank
         """,
-        "text_tokens": """
-            SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
-            FROM documents ORDER BY doc_id
-        """,
-        "text_quality": """
+        "text_tokens_quality": """
             SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
                    round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) ) * 1.0 /
                          greatest(length(text), 1), 6) AS punct_ratio,
                    round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 /
@@ -1144,7 +1252,10 @@ def oracle_sql() -> dict[str, str]:
         "webdedup_clusters": """
             SELECT doc_id AS cluster_rep, 2 AS size FROM documents ORDER BY cluster_rep
         """,
-        # aod_ttest, ann_lsh, text_fingerprint: intentionally no oracle —
-        # non-SQL-expressible (Student-t CDF / LSH bucketing / rolling hash);
-        # the driver records the weaker rows-only check and pytest covers them.
+        # text_fingerprint: the ONE intentionally no-oracle gate — the
+        # winnowing rolling hash is not SQL-expressible; determinism across
+        # parallelism is pytest-verified. aod_ttest and ann_lsh became
+        # hash-checkable constant-true gates in round 3 (see their
+        # docstrings), so the driver now records a full comparison for 48
+        # of 49 queries.
     }

@@ -33,7 +33,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+from ..plans.materialize import materialize
 
 DEFAULT_MIN_MATCH_CHARS = 200
 DEFAULT_MAX_GROUP_CHARS = 4_000_000
@@ -144,6 +146,58 @@ def shared_substring_pairs_pandas(
 CONTAIN_SCHEMA = StructType([StructField("a", LongType()), StructField("b", LongType())])
 
 
+def _sliding_min_u64(h: np.ndarray, w: int) -> np.ndarray:
+    """Minimum over every length-``w`` window of ``h`` (uint64), vectorized
+    via the block prefix/suffix-minima decomposition (two accumulate passes,
+    O(len), no Python loop)."""
+    m = h.size
+    if w <= 1 or m == 0:
+        return h
+    if m < w:
+        return np.array([h.min()], dtype=np.uint64) if m else h
+    pad = (-m) % w
+    hp = np.concatenate([h, np.full(pad, np.uint64(0xFFFFFFFFFFFFFFFF))])
+    blocks = hp.reshape(-1, w)
+    pref = np.minimum.accumulate(blocks, axis=1).ravel()
+    suff = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    return np.minimum(suff[: m - w + 1], pref[w - 1 : m])
+
+
+def winnow_params(min_match_chars: int) -> tuple[int, int]:
+    """(gram_len L', window w) with L' + w - 1 == L: every shared verbatim
+    substring of length >= L contains w consecutive L'-grams in BOTH docs,
+    i.e. one complete winnowing window inside the shared region, whose
+    minimum hash VALUE is content-defined and therefore identical in both
+    fingerprint sets — zero false negatives at the prefilter."""
+    L = int(min_match_chars)
+    w = max(1, L // 4)
+    return L - w + 1, w
+
+
+def winnowed_fingerprints(text: str, min_match_chars: int) -> np.ndarray:
+    """Content-defined fingerprint set (winnowing, Schleimer et al. SIGMOD'03
+    style but value-selected): unique minima of each w-window over the
+    L'-gram rolling hashes. ~2/(w+1) selection density, so the per-doc
+    fingerprint array is ~25x smaller than the full L-gram set and ~3-8x
+    smaller than the text itself — this is what crosses the candidate-pair
+    shuffle instead of document texts."""
+    Lp, w = winnow_params(min_match_chars)
+    # winnowing runs over POSITIONAL window hashes (not the unique set):
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+    n = codes.size
+    if n < Lp:
+        return np.empty(0, dtype=np.uint64)
+    from .chunking import _prefix_powers
+    from .shingle import splitmix64
+
+    pows, ipows = _prefix_powers(n)
+    with np.errstate(over="ignore"):
+        weighted = codes * ipows[:n]
+        prefix = np.concatenate([[np.uint64(0)], np.cumsum(weighted, dtype=np.uint64)])
+        h = splitmix64((prefix[Lp:] - prefix[:-Lp]) * pows[Lp : n + 1])
+    return np.unique(_sliding_min_u64(h, w))
+
+
 def lgram_hashes(text: str, L: int) -> np.ndarray:
     """Sorted unique content-only polynomial hashes of every L-char window.
     Two docs share a verbatim >= L substring IFF their L-gram hash sets
@@ -176,53 +230,83 @@ def sa_verify_pairs(
     """Verify candidate edges (a, b): keep exactly the pairs sharing a
     verbatim >= min_match_chars substring.
 
-    Implementation: per-pair L-gram rolling-hash set intersection (see
-    lgram_hashes) instead of a per-hub suffix array — O(len) per doc vs
-    O(len log^2 len) per group, mapInPandas instead of a groupBy shuffle.
-    Each doc in a batch is hashed ONCE (dict-memoized) and each pair checks
-    overlap with one searchsorted of the smaller sorted set into the larger
-    (O(min log max) per pair, touching only the two per-doc sets) — an
-    earlier formulation that stacked every pair's copies of both hash sets
-    into one array for a global lexsort moved ~50x more bytes and its
-    bandwidth-bound sort flatlined multi-core scaling. The suffix-array
-    layer remains the engine of the host-grouped containment mode
-    (containment_edges below). ``max_group_chars`` is retained for
-    signature compatibility; the O(len) path needs no group budget."""
-    ta = extracted.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
-    tb = extracted.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
-    joined = candidates.join(ta, "a").join(tb, "b").select("a", "b", "text_a", "text_b")
+    Two-phase, and NO document text ever crosses a candidate-PAIR join (the
+    round-2 version joined full texts to every pair, so a doc in P pairs
+    shipped its text P times — the verify stage's dominant shuffle at scale):
+
+      1. PREFILTER (exact-recall): each candidate doc is hashed ONCE into a
+         winnowed fingerprint set (winnowed_fingerprints — content-defined,
+         ~25x smaller than the full L-gram set); pairs join fingerprint
+         ARRAYS and are kept iff ``arrays_overlap`` (JVM codegen, no
+         Python). The winnowing window guarantees every true >= L pair
+         survives; survivors may include pairs sharing only L'..L-1 chars.
+      2. EXACT verify: only survivor docs (≈ output-sized) are re-hashed
+         into their FULL L-gram sets; survivor pairs join those arrays and
+         keep iff ``arrays_overlap`` — "sets intersect" IS the >= L verbatim
+         substring criterion (lgram_hashes docstring), so final semantics
+         are identical to the round-2 kernel.
+
+    Per-doc work is O(len) in both phases; per-pair work is JVM-side set
+    intersection of pre-sorted hash arrays. The suffix-array layer remains
+    the engine of the host-grouped containment mode (containment_edges
+    below). ``max_group_chars`` is retained for signature compatibility."""
+    L = int(min_match_chars)
+    pairs = candidates.select("a", "b").distinct()
+    cand_ids = _endpoint_ids(pairs)
+    survivors = materialize(
+        hash_overlap_join(pairs, lgram_hash_table(extracted, cand_ids, L, full_grams=False))
+    )
+    return hash_overlap_join(
+        survivors, lgram_hash_table(extracted, _endpoint_ids(survivors), L, full_grams=True)
+    )
+
+
+def _endpoint_ids(pairs: DataFrame) -> DataFrame:
+    return (
+        pairs.select(F.col("a").alias("doc_id"))
+        .union(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+
+
+HASH_TBL_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("h", ArrayType(LongType()))]
+)
+
+
+def lgram_hash_table(
+    extracted: DataFrame, ids: DataFrame, min_match_chars: int, full_grams: bool
+) -> DataFrame:
+    """Doc-keyed hash table (doc_id, h): each doc's text is consumed ONCE
+    here and projected away — only the hash array crosses any later join."""
+    docs = extracted.join(ids, "doc_id").select("doc_id", "text")
     L = int(min_match_chars)
 
     def run(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            a_ids = pdf["a"].to_numpy(dtype=np.int64)
-            b_ids = pdf["b"].to_numpy(dtype=np.int64)
-            hmap: dict[int, np.ndarray] = {}
-            for did, txt in zip(
-                np.concatenate([a_ids, b_ids]),
-                list(pdf["text_a"]) + list(pdf["text_b"]),
-            ):
-                if int(did) not in hmap:
-                    hmap[int(did)] = lgram_hashes(txt, L)
-            hits = []
-            for i in range(len(pdf)):
-                ha, hb = hmap[int(a_ids[i])], hmap[int(b_ids[i])]
-                if ha.size == 0 or hb.size == 0:
-                    continue
-                if ha.size > hb.size:
-                    ha, hb = hb, ha
-                idx = np.searchsorted(hb, ha)
-                idx[idx == hb.size] = hb.size - 1
-                if np.any(hb[idx] == ha):
-                    hits.append(i)
-            if not hits:
-                continue
-            hit_idx = np.array(hits, dtype=np.int64)
-            yield pd.DataFrame({"a": a_ids[hit_idx], "b": b_ids[hit_idx]})
+            arrs = [
+                (lgram_hashes(t, L) if full_grams else winnowed_fingerprints(t, L))
+                .view(np.int64)
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "h": arrs})
 
-    return joined.mapInPandas(run, schema=CONTAIN_SCHEMA).distinct()
+    return docs.mapInPandas(run, schema=HASH_TBL_SCHEMA)
+
+
+def hash_overlap_join(pairs: DataFrame, htbl: DataFrame) -> DataFrame:
+    """Keep the (a, b) pairs whose hash sets intersect — JVM-side
+    ``arrays_overlap``, id+array shuffle only."""
+    ha = htbl.select(F.col("doc_id").alias("a"), F.col("h").alias("h_a"))
+    hb = htbl.select(F.col("doc_id").alias("b"), F.col("h").alias("h_b"))
+    return (
+        pairs.join(ha, "a")
+        .join(hb, "b")
+        .filter(F.arrays_overlap("h_a", "h_b"))
+        .select("a", "b")
+    )
 
 
 def containment_edges(

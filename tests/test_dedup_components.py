@@ -189,3 +189,65 @@ class TestFusedShingleChunks:
             sh_one, ch_one = shingle_and_chunks_batch(pd.Series([docs[i]]))
             assert np.array_equal(sh_all[i], sh_one[0])
             assert np.array_equal(ch_all[i], ch_one[0])
+
+
+class TestWinnowedVerify:
+    """The de-texted substring verify: winnowed prefilter + exact L-gram
+    arrays_overlap (suffix.sa_verify_pairs, round-3 rework)."""
+
+    def test_sliding_min_matches_naive(self):
+        from datasketches_postgresql_spark.dedup.suffix import _sliding_min_u64
+
+        rng = np.random.default_rng(3)
+        for m, w in [(1, 1), (5, 3), (10, 10), (100, 7), (64, 64), (65, 64), (333, 50)]:
+            h = rng.integers(0, 2**63, size=m, dtype=np.uint64)
+            got = _sliding_min_u64(h, w)
+            exp = (
+                np.array([h[i : i + w].min() for i in range(m - w + 1)], dtype=np.uint64)
+                if m >= w
+                else np.array([h.min()], dtype=np.uint64)
+            )
+            assert np.array_equal(got, exp), (m, w)
+
+    def test_prefilter_never_drops_true_pair(self):
+        """Winnowing guarantee: a shared verbatim substring of EXACTLY L chars
+        yields overlapping fingerprint sets (one full window fits inside)."""
+        from datasketches_postgresql_spark.dedup.suffix import winnowed_fingerprints
+
+        rng = np.random.default_rng(7)
+        L = 200
+        for trial in range(20):
+            shared = "".join(rng.choice(list("abcdefgh "), size=L))
+            t1 = "".join(rng.choice(list("uvwxyz"), size=int(rng.integers(0, 400)))) + shared
+            t2 = shared + "".join(rng.choice(list("klmnop"), size=int(rng.integers(0, 400))))
+            f1 = winnowed_fingerprints(t1, L)
+            f2 = winnowed_fingerprints(t2, L)
+            assert np.intersect1d(f1, f2).size > 0, f"trial {trial}"
+
+    def test_sa_verify_pairs_exact_semantics(self, spark):
+        """End-to-end: keeps exactly the pairs sharing >= L verbatim chars;
+        a pair sharing L-1 chars is rejected by the exact phase even though
+        the winnowed prefilter may pass it."""
+        from datasketches_postgresql_spark.dedup.suffix import sa_verify_pairs
+
+        rng = np.random.default_rng(11)
+        L = 200
+        shared = "".join(rng.choice(list("abcdefgh "), size=L))
+        near = shared[:-1]  # L-1 chars: must NOT verify
+        mk = lambda n, abc: "".join(rng.choice(list(abc), size=n))
+        docs = [
+            (1, mk(300, "uvw") + shared + mk(100, "xyz")),
+            (2, mk(50, "klm") + shared),
+            (3, mk(250, "pqr") + near + mk(250, "stu")),
+            (4, near + mk(400, "efg")),
+            (5, mk(600, "hij")),
+            (6, mk(600, "nop")),
+        ]
+        extracted = spark.createDataFrame(docs, "doc_id long, text string")
+        cands = spark.createDataFrame(
+            [(1, 2), (3, 4), (5, 6), (1, 5)], "a long, b long"
+        )
+        got = sorted(
+            tuple(r) for r in sa_verify_pairs(cands, extracted, L).collect()
+        )
+        assert got == [(1, 2)]

@@ -107,3 +107,30 @@ class TestPlanQuality:
         q = substring_candidates(None, chunks=ch)
         plan = formatted_plan(q)
         assert "EvalPython" not in plan, plan
+
+    def test_substring_verify_joins_carry_no_text(self, spark):
+        """Round-3 contract: document text never crosses a candidate-PAIR
+        join — texts are consumed once in the doc-keyed hashing stage
+        (mapInPandas) and only hash ARRAYS appear in join nodes."""
+        import pyspark.sql.functions as F
+
+        from datasketches_postgresql_spark.dedup.suffix import (
+            hash_overlap_join,
+            lgram_hash_table,
+        )
+
+        extracted = spark.createDataFrame(
+            [(1, "a" * 500), (2, "b" * 500)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+        ids = pairs.select(F.col("a").alias("doc_id")).union(
+            pairs.select(F.col("b").alias("doc_id"))
+        ).distinct()
+        q = hash_overlap_join(pairs, lgram_hash_table(extracted, ids, 200, True))
+        plan = formatted_plan(q)
+        assert "arrays_overlap" in plan, plan
+        for line in plan.splitlines():
+            if "Join" in line:
+                assert "text" not in line, line
+        # and the old per-pair text aliases must be gone everywhere
+        assert "text_a" not in plan and "text_b" not in plan

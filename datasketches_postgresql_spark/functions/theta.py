@@ -233,7 +233,7 @@ def theta_sketch_build_compat(
             return _i.build_murmur(keys, lg_k, p)
     else:
         def partial(pdf: pd.DataFrame) -> bytes:
-            return _i.build_murmur_strings(pdf[_H].tolist(), lg_k, p)
+            return _i.build_murmur_strings(pdf[_H], lg_k, p)
 
     agg = sketch_groupby_agg(
         proj,

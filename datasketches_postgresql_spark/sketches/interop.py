@@ -42,7 +42,9 @@ import struct
 import numpy as np
 
 from . import theta as _t
-from .murmur3 import hash128_bytes, hash128_u64
+import pyarrow as pa_lib
+
+from .murmur3 import hash128_bytes, hash128_bytes_batch, hash128_u64, hash128_utf8_batch
 
 DEFAULT_SEED = 9001  # DataSketches default update seed
 _SERIAL_VERSION = 3
@@ -162,11 +164,16 @@ def build_murmur(values: np.ndarray, lg_k: int = _t.DEFAULT_LG_K, p: float = 1.0
 def build_murmur_strings(values, lg_k: int = _t.DEFAULT_LG_K, p: float = 1.0,
                          seed: int = DEFAULT_SEED) -> bytes:
     """String-key variant (UTF-8 canonicalization, matching the ecosystem's
-    update(std::string) / update(String))."""
-    hs = np.array(
-        [theta_hash_bytes(str(v).encode("utf-8"), seed) for v in values if v is not None],
-        dtype=np.uint64,
-    )
+    update(std::string) / update(String)). Vectorized: the Arrow string
+    layout hands the whole batch to numpy as (offsets, flat UTF-8 buffer) —
+    no per-row Python at all on the fast path (hash128_utf8_batch); arbitrary
+    objects fall back to an encode + flat-buffer pass."""
+    try:
+        h1 = hash128_utf8_batch(values, seed)
+    except (pa_lib.ArrowInvalid, pa_lib.ArrowTypeError):
+        items = [str(v).encode("utf-8") for v in values if v is not None]
+        h1 = hash128_bytes_batch(items, seed)
+    hs = h1 >> np.uint64(1)
     return build_murmur_from_ds_hashes(hs, lg_k, p)
 
 

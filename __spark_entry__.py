@@ -340,13 +340,22 @@ def q_kll_wire_roundtrip(spark, sf_dir):
 
 
 def q_hll_tgt4_distinct(spark, sf_dir):
-    """HLL_4 target type: genuinely 4-bit-packed images from the numpy HLL
-    kernel; exact regime (few langs per source) -> estimates round to the
-    exact distinct counts, and the image header carries width 4."""
+    """HLL_4 target type, round 3: the image is the CANONICAL DataSketches
+    narrow image (family 7, serVer 1, tgtHllType HLL_4 in the mode byte —
+    the format the reference stores, src/hll_sketch_c_adapter.cpp:38-48),
+    and the estimate is computed by Spark's NATIVE hll_sketch_estimate
+    (datasketches-java) reading our bytes. Exact regime (few langs per
+    source) -> estimates round to the exact distinct counts."""
     sk = HLL.hll_sketch_build(_docs(spark, sf_dir), ["source"], "lang", tgt_type="HLL_4")
+    mode = F.conv(F.hex(F.substring("sketch", 8, 1)), 16, 10).cast("int")
+    family = F.conv(F.hex(F.substring("sketch", 3, 1)), 16, 10).cast("int")
+    width = F.element_at(
+        F.array(F.lit(4), F.lit(6), F.lit(8)), (F.shiftright(mode, 2) % 4) + 1
+    )
     return sk.select(
         "source",
-        F.conv(F.hex(F.substring("sketch", 3, 1)), 16, 10).cast("int").alias("reg_width"),
+        family.alias("family"),
+        width.alias("reg_width"),
         F.round(HLL.hll_sketch_get_estimate(F.col("sketch"), tgt_type=4))
         .cast("bigint")
         .alias("n_langs"),
@@ -1031,7 +1040,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "hll_tgt4_distinct": """
-            SELECT source, 4 AS reg_width, count(DISTINCT lang) AS n_langs
+            SELECT source, 7 AS family, 4 AS reg_width,
+                   count(DISTINCT lang) AS n_langs
             FROM documents GROUP BY source ORDER BY source
         """,
         "req_tail_accuracy": """

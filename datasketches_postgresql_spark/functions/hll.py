@@ -4,12 +4,13 @@ bridged to Spark's NATIVE DataSketches-compatible HLL functions
 whole-stage-codegen friendly — zero Python in the hot path).
 
 tgt_type handling (src/hll_sketch_pg_functions.c:94-99): HLL_8 (and the
-default) goes through the Spark-native path and emits DataSketches
-HLL_8-compatible images. HLL_4 / HLL_6 route through the numpy HLL kernel
-(sketches.hll) and emit genuinely narrow images — 4/6-bit packed registers
-(HLL_4 with a base-offset + exception list, so narrow packing adds no
-estimation bias). Scalar functions take the same ``tgt_type`` to pick the
-image decoder.
+default) goes through the Spark-native path. HLL_4 / HLL_6 build murmur3
+coupon registers in numpy (identical to datasketches-java's for the same
+keys) and serialize the CANONICAL DataSketches narrow image
+(sketches.hll_interop) — 4/6-bit packed, curMin + aux-exception scheme, so
+narrow packing adds no estimation bias AND the bytes are readable by
+Druid / Hive / datasketches-* and by Spark's own native hll_* functions.
+Scalar getters therefore always use the native JVM decoder.
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, BinaryType, DoubleType, StringType, StructField
 
 from ..operators.agg import sketch_groupby_agg, sketch_merge_agg
-from ..sketches import hll as _h
+from ..sketches import hll_interop as _hi
 
 DEFAULT_LG_K = 12  # src/hll_sketch_pg_functions.c:38
 _VALID_TGT = {"HLL_4", "HLL_6", "HLL_8", 4, 6, 8}
@@ -43,30 +44,47 @@ def _is_custom(tgt_type) -> bool:
     return _check_tgt(tgt_type) in (4, 6)
 
 
-def _custom_build(df, group_cols, col, lg_k, width, out_col, estimate_only=False):
-    # NULLs survive as the xxhash64 seed sentinel (42) and are dropped in the
-    # kernel, keeping all-NULL groups alive (see theta._hash_proj)
-    proj = df.select(*group_cols, F.xxhash64(col).alias(_H))
+def _custom_build(df, group_cols, col, lg_k, width, out_col):
+    """HLL_4/HLL_6 build: murmur3-coupon registers (identical to what
+    datasketches-java computes for the same keys) serialized as the
+    canonical narrow image — binary-compatible with the reference's
+    storage and with Spark's native hll_* readers. NULLs are filtered and
+    all-NULL groups restored with the canonical empty image
+    (keep_group_keys, same pattern as theta_sketch_build_compat)."""
+    from pyspark.sql.types import IntegerType as _Int
+    from pyspark.sql.types import LongType as _Long
+    from pyspark.sql.types import ShortType as _Short
 
-    def hashed(pdf: pd.DataFrame) -> np.ndarray:
-        h = pdf[_H].to_numpy(dtype=np.int64).astype(np.uint64)
-        return h[h != np.uint64(42)]
+    from ..sketches.murmur3 import hash128_u64, hash128_utf8_batch
 
-    if estimate_only:
-        fin = lambda b: {out_col: _h.get_estimate(b)}  # noqa: E731
-        fields = [StructField(out_col, DoubleType())]
+    dtype = df.schema[col].dataType
+    numeric = isinstance(dtype, (_Long, _Int, _Short))
+    val = F.col(col).cast("long") if numeric else F.col(col).cast("string")
+    proj = df.where(F.col(col).isNotNull()).select(*group_cols, val.alias(_H))
+
+    if numeric:
+        def partial(pdf: pd.DataFrame) -> bytes:
+            keys = pdf[_H].to_numpy(dtype=np.int64).astype(np.uint64)
+            regs = _hi.registers_murmur(*hash128_u64(keys, 9001), lg_k)
+            return _hi.serialize_hll(lg_k, regs, width)
     else:
-        fin = lambda b: {out_col: b}  # noqa: E731
-        fields = [StructField(out_col, BinaryType())]
-    return sketch_groupby_agg(
+        def partial(pdf: pd.DataFrame) -> bytes:
+            h1, h2 = hash128_utf8_batch(pdf[_H], 9001, with_h2=True)
+            return _hi.serialize_hll(lg_k, _hi.registers_murmur(h1, h2, lg_k), width)
+
+    agg = sketch_groupby_agg(
         proj,
         group_cols,
         [_H],
-        partial_fn=lambda pdf: _h.build(hashed(pdf), lg_k, width),
-        merge_fn=lambda states: _h.union(states, width),
-        finalize_fn=fin,
-        out_fields=fields,
+        partial_fn=partial,
+        merge_fn=lambda states: _hi.union_images(states, width, lg_k),
+        finalize_fn=lambda b: {out_col: b},
+        out_fields=[StructField(out_col, BinaryType())],
     )
+    from ..operators.agg import keep_group_keys
+
+    empty = _hi.serialize_hll(lg_k, np.zeros(1 << lg_k, dtype=np.uint8), width)
+    return keep_group_keys(df, group_cols, agg, {out_col: empty})
 
 
 def hll_sketch_build(
@@ -79,8 +97,8 @@ def hll_sketch_build(
 ) -> DataFrame:
     """Aggregate: hll_sketch_build(anyelement[,lg_k[,tgt_type]]) (sql:101-129).
     Default/HLL_8: Spark-native (Catalyst plans partial+final aggregation —
-    the reference's COMBINEFUNC, for free). HLL_4/HLL_6: numpy kernel with
-    narrow packed images."""
+    the reference's COMBINEFUNC, for free). HLL_4/HLL_6: murmur-coupon numpy
+    kernel emitting canonical narrow DataSketches images."""
     width = _check_tgt(tgt_type)
     if width in (4, 6):
         return _custom_build(df, group_cols, col, lg_k, width, out_col)
@@ -119,7 +137,7 @@ def hll_sketch_union_agg(
             df,
             group_cols,
             sketch_col,
-            merge_fn=lambda states: _h.union(states, width),
+            merge_fn=lambda states: _hi.union_images(states, width),
             finalize_fn=lambda b: {out_col: b},
             out_fields=[StructField(out_col, BinaryType())],
         )
@@ -131,13 +149,15 @@ def hll_sketch_union_agg(
 
 @F.pandas_udf(BinaryType())
 def _custom_union_pair(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            _h.union([bytes(x) for x in (xa, xb) if x is not None])
-            for xa, xb in zip(a, b)
-        ],
-        dtype=object,
-    )
+    out = []
+    for xa, xb in zip(a, b):
+        states = [bytes(x) for x in (xa, xb) if x is not None]
+        if not states:
+            out.append(None)
+            continue
+        width = _hi.deserialize_hll(states[0])[1]
+        out.append(_hi.union_images(states, width))
+    return pd.Series(out, dtype=object)
 
 
 def hll_sketch_union(a: Column, b: Column, tgt_type=None) -> Column:
@@ -147,15 +167,11 @@ def hll_sketch_union(a: Column, b: Column, tgt_type=None) -> Column:
     return F.hll_union(a, b, True)
 
 
-@F.pandas_udf(DoubleType())
-def _custom_estimate(s: pd.Series) -> pd.Series:
-    return pd.Series([np.nan if b is None else _h.get_estimate(bytes(b)) for b in s])
-
-
 def hll_sketch_get_estimate(sketch, tgt_type=None) -> Column:
-    """hll_sketch_get_estimate(sketch) -> double (sql:161-163)."""
-    if _is_custom(tgt_type):
-        return _custom_estimate(sketch)
+    """hll_sketch_get_estimate(sketch) -> double (sql:161-163). Every
+    tgt_type now emits the canonical DataSketches image, so the native JVM
+    estimator reads all of them — tgt_type is accepted for signature parity
+    but no longer selects a decoder."""
     return F.hll_sketch_estimate(sketch).cast("double")
 
 

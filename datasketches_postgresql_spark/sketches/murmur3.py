@@ -81,7 +81,7 @@ def hash128_bytes(data: bytes, seed: int = 0) -> tuple[int, int]:
     return h1, h2
 
 
-def hash128_bytes_batch(items: list[bytes], seed: int = 0) -> np.ndarray:
+def hash128_bytes_batch(items: list[bytes], seed: int = 0, with_h2: bool = False):
     """Vectorized MurmurHash3_x64_128 over variable-length byte strings ->
     h1 uint64 array (the half DataSketches keys theta entries with).
 
@@ -99,15 +99,16 @@ def hash128_bytes_batch(items: list[bytes], seed: int = 0) -> np.ndarray:
     row-at-a-time kernel left in the repo (VERDICT r2 'What's wrong' #4)."""
     n = len(items)
     if n == 0:
-        return np.empty(0, dtype=np.uint64)
+        e = np.empty(0, dtype=np.uint64)
+        return (e, e) if with_h2 else e
     lens = np.fromiter((len(b) for b in items), dtype=np.int64, count=n)
     data = np.frombuffer(b"".join(items), dtype=np.uint8)
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
-    return _h1_from_flat(data, starts, lens, seed)
+    return _h1_from_flat(data, starts, lens, seed, with_h2)
 
 
-def hash128_utf8_batch(values, seed: int = 0) -> np.ndarray:
+def hash128_utf8_batch(values, seed: int = 0, with_h2: bool = False):
     """Vectorized murmur3 h1 over a string column (pandas Series / sequence;
     None/NaN dropped), via the Arrow string layout: ONE C-level pass encodes
     and concatenates every value (offsets + flat UTF-8 buffer), so no Python
@@ -119,20 +120,22 @@ def hash128_utf8_batch(values, seed: int = 0) -> np.ndarray:
         arr = arr.drop_null()
     n = len(arr)
     if n == 0:
-        return np.empty(0, dtype=np.uint64)
+        e = np.empty(0, dtype=np.uint64)
+        return (e, e) if with_h2 else e
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
         arr.offset : arr.offset + n + 1
     ]
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-    return _h1_from_flat(data, offs[:-1].copy(), (offs[1:] - offs[:-1]), seed)
+    return _h1_from_flat(data, offs[:-1].copy(), (offs[1:] - offs[:-1]), seed, with_h2)
 
 
 _MURMUR_BLOCK_BYTES = 1 << 18  # ~L2-resident working set per row block
 
 
 def _h1_from_flat(
-    data: np.ndarray, starts: np.ndarray, lens: np.ndarray, seed: int
-) -> np.ndarray:
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray, seed: int,
+    with_h2: bool = False,
+):
     """Grouped murmur3 core over a flat byte buffer + per-row (start, len).
     Rows are grouped by exact length (scalar block count -> unmasked body
     rounds), then each group is processed in CACHE-BLOCKED row slices whose
@@ -141,6 +144,7 @@ def _h1_from_flat(
     (same treatment as the OPH/SimHash kernels)."""
     n = lens.size
     out1 = np.empty(n, dtype=np.uint64)
+    out2 = np.empty(n, dtype=np.uint64) if with_h2 else None
     order = np.argsort(lens, kind="stable")
     bounds = np.flatnonzero(np.diff(lens[order])) + 1
     c1, c2 = np.uint64(_C1), np.uint64(_C2)
@@ -202,7 +206,9 @@ def _h1_from_flat(
                     h ^= h >> np.uint64(33)
                 h1 += h2
                 out1[rblk] = h1
-    return out1
+                if with_h2:
+                    out2[rblk] = h2 + h1
+    return (out1, out2) if with_h2 else out1
 
 
 def hash128_u64(keys: np.ndarray, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:

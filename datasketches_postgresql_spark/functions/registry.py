@@ -135,6 +135,31 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("req_float_sketch_to_datasketches", req_fns.req_float_sketch_to_datasketches)
     spark.udf.register("req_float_sketch_from_datasketches", req_fns.req_float_sketch_from_datasketches)
 
+    # -- classic quantiles (real DoublesSketch, canonical wire format) -------
+    from ..sketches import quantiles as _qd
+    from . import quantiles as qd_fns
+
+    @F.pandas_udf(BinaryType())
+    def quantiles_double_sketch_build(v: pd.Series, k: pd.Series) -> bytes:  # type: ignore[misc]
+        return _qd.build(v.dropna().to_numpy(dtype=np.float64), int(k.iloc[0]))
+
+    @F.pandas_udf(BinaryType())
+    def quantiles_double_sketch_merge(s: pd.Series) -> bytes:  # type: ignore[misc]
+        return _qd.merge([bytes(b) for b in s if b is not None])
+
+    spark.udf.register("quantiles_double_sketch_build", quantiles_double_sketch_build)
+    spark.udf.register("quantiles_double_sketch_merge", quantiles_double_sketch_merge)
+    spark.udf.register("quantiles_double_sketch_get_quantile", qd_fns._quantile_udf)
+    spark.udf.register("quantiles_double_sketch_get_quantiles", qd_fns._quantiles_udf)
+    spark.udf.register("quantiles_double_sketch_get_rank", qd_fns._rank_udf)
+    spark.udf.register("quantiles_double_sketch_get_pmf", qd_fns._pmf_udf)
+    spark.udf.register("quantiles_double_sketch_get_cdf", qd_fns._cdf_udf)
+    spark.udf.register("quantiles_double_sketch_get_histogram", qd_fns._histogram_udf)
+    spark.udf.register("quantiles_double_sketch_get_n", qd_fns.quantiles_double_sketch_get_n)
+    spark.udf.register(
+        "quantiles_double_sketch_to_string", qd_fns.quantiles_double_sketch_to_string
+    )
+
     # -- theta <-> DataSketches wire format ----------------------------------
     spark.udf.register("theta_sketch_to_datasketches", theta_fns.theta_sketch_to_datasketches)
     spark.udf.register("theta_sketch_from_datasketches", theta_fns.theta_sketch_from_datasketches)

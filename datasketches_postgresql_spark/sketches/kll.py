@@ -48,7 +48,66 @@ DEFAULT_K_REQ = 12
 _HDR = struct.Struct("<HBQI d d")
 
 
-class KllState:
+class QuantileQueriesMixin:
+    """Rank/quantile/pmf/cdf/histogram estimators over any weighted-sample
+    sketch exposing ``_sorted_view() -> (items, weights)``, ``n``, ``min``,
+    ``max`` — shared by the KLL and classic-quantiles kernels (identical
+    query semantics in the reference, src/kll_float_sketch_pg_functions.c
+    vs src/quantiles_double_sketch_pg_functions.c)."""
+
+    def get_rank(self, value: float, inclusive: bool = False) -> float:
+        if self.n == 0:
+            return float("nan")
+        items, weights = self._sorted_view()
+        mask = items <= value if inclusive else items < value
+        return float(weights[mask].sum()) / float(self.n)
+
+    def get_quantile(self, rank: float, inclusive: bool = False) -> float:
+        if self.n == 0:
+            return float("nan")
+        rank = min(max(rank, 0.0), 1.0)
+        items, weights = self._sorted_view()
+        cum = np.cumsum(weights)
+        target = rank * self.n
+        if inclusive:
+            idx = int(np.searchsorted(cum, target, side="left"))
+        else:
+            idx = int(np.searchsorted(cum, target, side="right"))
+        idx = min(idx, items.size - 1)
+        return float(items[idx])
+
+    def get_quantiles(self, ranks: list[float], inclusive: bool = False) -> list[float]:
+        return [self.get_quantile(r, inclusive) for r in ranks]
+
+    def get_pmf(self, splits: list[float], inclusive: bool = False) -> list[float]:
+        """N+1 bins: (-inf,s1), [s1,s2) ... [sN,+inf) under exclusive ranks
+        (src/kll_float_sketch_pg_functions.c:277-325)."""
+        if self.n == 0:
+            return []
+        cdf = self.get_cdf(splits, inclusive)
+        return [cdf[0]] + [cdf[i] - cdf[i - 1] for i in range(1, len(cdf))]
+
+    def get_cdf(self, splits: list[float], inclusive: bool = False) -> list[float]:
+        """N+1 values; last is always 1.0 (src/kll_float_sketch_pg_functions.c:327-375)."""
+        if self.n == 0:
+            return []
+        return [self.get_rank(s, inclusive) for s in splits] + [1.0]
+
+    def get_histogram(self, num_bins: int = 10) -> list[float]:
+        """Equal-width bins over [min,max], masses scaled to counts
+        (split construction src/kll_float_sketch_pg_functions.c:452-458,
+        scale=true :459)."""
+        if self.n == 0:
+            return []
+        if self.min == self.max:
+            return [float(self.n)] + [0.0] * (num_bins - 1)
+        step = (self.max - self.min) / num_bins
+        splits = [self.min + step * i for i in range(1, num_bins)]
+        pmf = self.get_pmf(splits, inclusive=True)
+        return [m * self.n for m in pmf]
+
+
+class KllState(QuantileQueriesMixin):
     __slots__ = ("k", "n", "cc", "min", "max", "levels")
 
     def __init__(self, k: int = DEFAULT_K):
@@ -148,57 +207,6 @@ class KllState:
         )
         order = np.argsort(items, kind="stable")
         return items[order], weights[order]
-
-    def get_rank(self, value: float, inclusive: bool = False) -> float:
-        if self.n == 0:
-            return float("nan")
-        items, weights = self._sorted_view()
-        mask = items <= value if inclusive else items < value
-        return float(weights[mask].sum()) / float(self.n)
-
-    def get_quantile(self, rank: float, inclusive: bool = False) -> float:
-        if self.n == 0:
-            return float("nan")
-        rank = min(max(rank, 0.0), 1.0)
-        items, weights = self._sorted_view()
-        cum = np.cumsum(weights)
-        target = rank * self.n
-        if inclusive:
-            idx = int(np.searchsorted(cum, target, side="left"))
-        else:
-            idx = int(np.searchsorted(cum, target, side="right"))
-        idx = min(idx, items.size - 1)
-        return float(items[idx])
-
-    def get_quantiles(self, ranks: list[float], inclusive: bool = False) -> list[float]:
-        return [self.get_quantile(r, inclusive) for r in ranks]
-
-    def get_pmf(self, splits: list[float], inclusive: bool = False) -> list[float]:
-        """N+1 bins: (-inf,s1), [s1,s2) ... [sN,+inf) under exclusive ranks
-        (src/kll_float_sketch_pg_functions.c:277-325)."""
-        if self.n == 0:
-            return []
-        cdf = self.get_cdf(splits, inclusive)
-        return [cdf[0]] + [cdf[i] - cdf[i - 1] for i in range(1, len(cdf))]
-
-    def get_cdf(self, splits: list[float], inclusive: bool = False) -> list[float]:
-        """N+1 values; last is always 1.0 (src/kll_float_sketch_pg_functions.c:327-375)."""
-        if self.n == 0:
-            return []
-        return [self.get_rank(s, inclusive) for s in splits] + [1.0]
-
-    def get_histogram(self, num_bins: int = 10) -> list[float]:
-        """Equal-width bins over [min,max], masses scaled to counts
-        (split construction src/kll_float_sketch_pg_functions.c:452-458,
-        scale=true :459)."""
-        if self.n == 0:
-            return []
-        if self.min == self.max:
-            return [float(self.n)] + [0.0] * (num_bins - 1)
-        step = (self.max - self.min) / num_bins
-        splits = [self.min + step * i for i in range(1, num_bins)]
-        pmf = self.get_pmf(splits, inclusive=True)
-        return [m * self.n for m in pmf]
 
     def to_string(self) -> str:
         return (

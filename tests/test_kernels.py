@@ -350,3 +350,87 @@ class TestMurmurBatch:
         idx = rng.integers(0, len(many), size=200)
         for i in idx:
             assert got[i] == hash128_bytes(many[int(i)], 9001)[0]
+
+
+class TestQuantilesClassic:
+    """Real classic DoublesSketch (round 3 — was a KLL alias): base buffer +
+    weighted level ladder, canonical wire format (serVer 3, family 8),
+    n-derived layout invariants."""
+
+    def test_structure_invariants_and_roundtrip(self):
+        import numpy as np
+
+        from datasketches_postgresql_spark.sketches.quantiles import (
+            QuantilesState,
+            build,
+        )
+
+        rng = np.random.default_rng(2)
+        for n in (0, 5, 255, 256, 257, 10_000, 123_457):
+            v = rng.normal(size=n)
+            img = build(v, 128)
+            st = QuantilesState.deserialize(img)
+            assert st.n == n
+            assert st.serialize() == img
+            if n:
+                assert st.bb.size == n % 256
+                bp = n // 256
+                assert all(((bp >> i) & 1) == (i in st.levels) for i in range(25))
+                assert img[1] == 3 and img[2] == 8  # canonical serVer + family
+
+    def test_exact_until_base_buffer_overflow(self):
+        import numpy as np
+
+        from datasketches_postgresql_spark.sketches.quantiles import QuantilesState
+
+        st = QuantilesState(128)
+        st.update(np.arange(256, dtype=float))
+        # n == 2k would have promoted; use 255 to stay exact
+        st2 = QuantilesState(128)
+        st2.update(np.arange(255, dtype=float))
+        assert st2.get_rank(100.0) == 100 / 255
+
+    def test_merge_matches_epsilon(self):
+        import numpy as np
+
+        from datasketches_postgresql_spark.sketches.quantiles import (
+            QuantilesState,
+            build,
+            merge,
+        )
+
+        rng = np.random.default_rng(4)
+        v = rng.normal(size=200_000)
+        parts = [build(c, 128) for c in np.array_split(v, 16)]
+        m = QuantilesState.deserialize(merge(parts))
+        assert m.n == 200_000
+        for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+            est = m.get_quantile(q)
+            assert abs((v < est).mean() - q) < 2 * 1.7 / 128, q
+
+    def test_mixed_k_merge_downsamples(self):
+        import numpy as np
+
+        from datasketches_postgresql_spark.sketches.quantiles import (
+            QuantilesState,
+            build,
+            merge,
+        )
+
+        rng = np.random.default_rng(8)
+        img = merge(
+            [build(rng.normal(size=5000), 128), build(rng.normal(size=5000), 32)]
+        )
+        st = QuantilesState.deserialize(img)
+        assert st.k == 32 and st.n == 10_000
+        bp = 10_000 // 64
+        assert st.bb.size == 10_000 % 64
+        assert all(((bp >> i) & 1) == (i in st.levels) for i in range(20))
+
+    def test_k_must_be_power_of_two(self):
+        import pytest
+
+        from datasketches_postgresql_spark.sketches.quantiles import QuantilesState
+
+        with pytest.raises(ValueError, match="power of two"):
+            QuantilesState(100)

@@ -247,6 +247,25 @@ def q_quantiles_double_q25(spark, sf_dir):
     )
 
 
+def q_quantiles_wire_roundtrip(spark, sf_dir):
+    """Classic quantiles (DoublesSketch) canonical-wire gate: the stored
+    sketch column IS the standard DataSketches image (serVer 3, family 8 —
+    what the reference's quantiles_double_sketch bytea holds via
+    src/quantiles_double_sketch_c_adapter.cpp), so legacy sketch data
+    imports directly. Gate pins the preamble bytes AND queries n + median
+    through the image in the exact regime (n per group <= 2k)."""
+    sk = QD.quantiles_double_sketch_build(
+        _ev(spark, sf_dir), ["event_type"], "value", k=_KLL_EXACT_K
+    )
+    return sk.select(
+        "event_type",
+        F.conv(F.hex(F.substring("sketch", 2, 1)), 16, 10).cast("int").alias("ser_ver"),
+        F.conv(F.hex(F.substring("sketch", 3, 1)), 16, 10).cast("int").alias("family"),
+        QD.quantiles_double_sketch_get_n(F.col("sketch")).alias("n"),
+        QD.quantiles_double_sketch_get_quantile(F.col("sketch"), 0.5).alias("median"),
+    )
+
+
 def q_kll_quantiles(spark, sf_dir):
     """kll_sketch_get_quantiles (multi-rank) — sql/..kll..:141-143."""
     sk = KLL.kll_double_sketch_build(_ev(spark, sf_dir), ["event_type"], "value", k=_KLL_EXACT_K)
@@ -877,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "req_tail_accuracy": q_req_tail_accuracy,
         "req_wire_roundtrip": q_req_wire_roundtrip,
         "quantiles_double_q25": q_quantiles_double_q25,
+        "quantiles_wire_roundtrip": q_quantiles_wire_roundtrip,
         "fi_heavy_event_types": q_fi_heavy_event_types,
         "fi_weighted_sources": q_fi_weighted_sources,
         "fi_merge": q_fi_merge,
@@ -1096,6 +1116,16 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT event_type, max(n) AS n, min(value) AS q25 FROM r
             WHERE rn > n * 0.25 GROUP BY event_type ORDER BY event_type
+        """,
+        "quantiles_wire_roundtrip": """
+            WITH r AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events)
+            SELECT event_type, 3 AS ser_ver, 8 AS family, max(n) AS n,
+                   min(value) AS median
+            FROM r WHERE rn > n * 0.5 GROUP BY event_type ORDER BY event_type
         """,
         "fi_wire_roundtrip": """
             SELECT 10 AS family, event_type AS str,

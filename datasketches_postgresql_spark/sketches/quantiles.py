@@ -46,6 +46,20 @@ _FAMILY = 8
 _F_READ_ONLY, _F_EMPTY, _F_COMPACT, _F_ORDERED = 2, 4, 8, 16
 
 
+def _total_order_sort(arr: np.ndarray) -> np.ndarray:
+    """Sort doubles by IEEE-754 total order so the wire image is a canonical
+    function of the multiset: plain np.sort orders tied -0.0/0.0 arbitrarily
+    (quicksort, unstable), making serialize->deserialize->serialize flip sign
+    bits between equal keys."""
+    bits = np.ascontiguousarray(arr, dtype=np.float64).view(np.uint64)
+    key = np.where(
+        bits >> np.uint64(63),
+        ~bits,
+        bits | np.uint64(0x8000000000000000),
+    )
+    return arr[np.argsort(key, kind="stable")]
+
+
 class QuantilesState(QuantileQueriesMixin):
     __slots__ = ("k", "n", "cc", "min", "max", "bb", "levels")
 
@@ -152,7 +166,7 @@ class QuantilesState(QuantileQueriesMixin):
         flags = _F_READ_ONLY | _F_COMPACT | _F_ORDERED
         head = struct.pack("<BBBBHH", 2, _SER_VER, _FAMILY, flags, self.k, 0)
         head += struct.pack("<Q", self.n) + struct.pack("<dd", self.min, self.max)
-        body = np.sort(self.bb).astype("<f8").tobytes()
+        body = _total_order_sort(self.bb).astype("<f8").tobytes()
         for lvl in sorted(self.levels):
             body += self.levels[lvl].astype("<f8").tobytes()
         return head + body
@@ -178,8 +192,10 @@ class QuantilesState(QuantileQueriesMixin):
         while bit_pattern:
             if bit_pattern & 1:
                 arr = np.frombuffer(buf, dtype="<f8", count=k, offset=off)
+                # levels must be kept sorted (serialize writes them under the
+                # ORDERED flag); an unordered legacy image needs the sort here
                 st.levels[lvl] = (
-                    arr.copy() if not (flags & _F_ORDERED) else np.sort(arr)
+                    arr.copy() if flags & _F_ORDERED else np.sort(arr)
                 )
                 off += 8 * k
             bit_pattern >>= 1

@@ -56,9 +56,12 @@ def deserialize(buf: bytes) -> tuple[int, np.uint64, np.ndarray]:
 
 def _trim(lg_k: int, theta: np.uint64, hashes: np.ndarray) -> tuple[np.uint64, np.ndarray]:
     """Keep only hashes < theta; if more than k retained, raise theta to the
-    (k+1)-th smallest hash and keep the k below it (standard KMV/theta trim)."""
+    (k+1)-th smallest hash and keep the k below it (standard KMV/theta trim).
+    Exact mode (theta == MAX) covers the FULL 64-bit hash space, so the hash
+    value 2^64-1 itself is retained — `< theta` would silently drop it."""
     k = _k(lg_k)
-    hashes = hashes[hashes < theta]
+    if theta != _MAX_THETA:
+        hashes = hashes[hashes < theta]
     if hashes.size > k:
         hashes = np.sort(hashes)
         theta = hashes[k]
@@ -135,7 +138,8 @@ def intersection(sketches: list[bytes]) -> bytes:
     acc = parts[0][2]
     for _, _, h in parts[1:]:
         acc = np.intersect1d(acc, h, assume_unique=True)
-    acc = acc[acc < theta]
+    if theta != _MAX_THETA:
+        acc = acc[acc < theta]
     return serialize(lg_k, theta, np.sort(acc))
 
 
@@ -145,7 +149,8 @@ def a_not_b(a: bytes, b: bytes) -> bytes:
     _, th_b, hb = deserialize(b)
     theta = min(th_a, th_b)
     out = np.setdiff1d(ha, hb, assume_unique=True)
-    out = out[out < theta]
+    if theta != _MAX_THETA:
+        out = out[out < theta]
     return serialize(lg_a, theta, np.sort(out))
 
 

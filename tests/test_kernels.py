@@ -427,6 +427,37 @@ class TestQuantilesClassic:
         assert st.bb.size == 10_000 % 64
         assert all(((bp >> i) & 1) == (i in st.levels) for i in range(20))
 
+    def test_unordered_legacy_image_imports_sorted(self):
+        """A legacy image without the ORDERED flag carries unsorted level
+        arrays; import must sort them so queries and re-serialization (which
+        claims ORDERED) stay correct."""
+        import numpy as np
+
+        from datasketches_postgresql_spark.sketches.quantiles import (
+            QuantilesState,
+            build,
+        )
+
+        rng = np.random.default_rng(11)
+        v = rng.normal(size=4096)
+        img = bytearray(build(v, 128))
+        ref = QuantilesState.deserialize(bytes(img))
+        img[3] &= ~16  # clear ORDERED
+        # shuffle every level's items in place (32-byte header, then bb)
+        off = 32 + 8 * (4096 % 256)
+        bp = 4096 // 256
+        while bp:
+            if bp & 1:
+                arr = np.frombuffer(bytes(img[off : off + 8 * 128]), dtype="<f8")
+                img[off : off + 8 * 128] = rng.permutation(arr).astype("<f8").tobytes()
+                off += 8 * 128
+            bp >>= 1
+        st = QuantilesState.deserialize(bytes(img))
+        for lvl, arr in st.levels.items():
+            assert (np.diff(arr) >= 0).all(), f"level {lvl} not sorted on import"
+        assert st.serialize() == ref.serialize()
+        assert st.get_quantile(0.5) == ref.get_quantile(0.5)
+
     def test_k_must_be_power_of_two(self):
         import pytest
 

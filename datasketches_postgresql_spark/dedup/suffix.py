@@ -198,6 +198,106 @@ def winnowed_fingerprints(text: str, min_match_chars: int) -> np.ndarray:
     return np.unique(_sliding_min_u64(h, w))
 
 
+def winnow_pair_fingerprints(text: str, min_match_chars: int) -> tuple[np.ndarray, np.ndarray]:
+    """(filter_fps, confirm_fps) from ONE text pass (shared prefix sums).
+
+    filter_fps  — winnowed L'-gram minima (winnow_params): a >= L shared
+                  substring ALWAYS yields an overlap (exact recall); an
+                  overlap may come from a shorter (L'..L-1) match.
+    confirm_fps — winnowed minima over the FULL L-gram hashes (same hash
+                  function as lgram_hashes): a shared value IS a shared
+                  L-gram hash, i.e. PROOF of a >= L verbatim match under
+                  exactly the criterion the exact phase tests — and any
+                  shared substring of length >= L + w - 1 guarantees one.
+
+    Together they three-way split candidate pairs: filter-miss = rejected
+    exactly; confirm-hit = accepted exactly; the narrow [L, L+w-2]-ish
+    residue goes to the full L-gram phase."""
+    L = int(min_match_chars)
+    Lp, w = winnow_params(L)
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+    n = codes.size
+    empty = np.empty(0, dtype=np.uint64)
+    if n < Lp:
+        return empty, empty
+    from .chunking import _prefix_powers
+    from .shingle import splitmix64
+
+    pows, ipows = _prefix_powers(n)
+    with np.errstate(over="ignore"):
+        weighted = codes * ipows[:n]
+        prefix = np.concatenate([[np.uint64(0)], np.cumsum(weighted, dtype=np.uint64)])
+        h_f = splitmix64((prefix[Lp:] - prefix[:-Lp]) * pows[Lp : n + 1])
+        filt = np.unique(_sliding_min_u64(h_f, w))
+        if n < L:
+            return filt, empty
+        h_c = splitmix64((prefix[L:] - prefix[:-L]) * pows[L : n + 1])
+    return filt, np.unique(_sliding_min_u64(h_c, w))
+
+
+def winnow_pair_fingerprints_batch(
+    texts, min_match_chars: int
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Batched winnow_pair_fingerprints: ONE concatenated rolling-hash +
+    sliding-min pass for a whole Arrow batch instead of ~30 small numpy
+    calls per doc (which dominate the verify stage's wall time at ~0.5 ms
+    per doc). Sound because the telescoped polynomial hash
+    (S[l+L]-S[l])*B^(l+L) is content-only — global positions produce the
+    SAME hash values as per-doc offsets — and a window minimum is only
+    taken at positions whose window lies entirely inside one doc, so the
+    concatenation seams never contribute. Returns per-doc (filter fps,
+    confirm fps), each identical to the scalar kernel's output."""
+    L = int(min_match_chars)
+    Lp, w = winnow_params(L)
+    from .chunking import _prefix_powers
+    from .shingle import splitmix64
+
+    code_parts = [
+        np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+        for t in texts
+    ]
+    lens = np.array([c.size for c in code_parts], dtype=np.int64)
+    ndocs = lens.size
+    empty = np.empty(0, dtype=np.uint64)
+    if ndocs == 0:
+        return [], []
+    codes = np.concatenate(code_parts) if ndocs > 1 else code_parts[0]
+    n = codes.size
+    if n == 0:
+        return [empty] * ndocs, [empty] * ndocs
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pows, ipows = _prefix_powers(n)
+    with np.errstate(over="ignore"):
+        weighted = codes * ipows[:n]
+        prefix = np.concatenate([[np.uint64(0)], np.cumsum(weighted, dtype=np.uint64)])
+
+        def tier(gram: int) -> list[np.ndarray]:
+            if n < gram:
+                return [empty] * ndocs
+            h = splitmix64((prefix[gram:] - prefix[:-gram]) * pows[gram : n + 1])
+            mins = _sliding_min_u64(h, w)
+            out = []
+            for d in range(ndocs):
+                m_d = int(lens[d]) - gram + 1  # doc's window-hash count
+                if m_d < w:
+                    # fewer hashes than one window: the scalar kernel's
+                    # _sliding_min_u64 degrades to min-of-all (m_d >= 1)
+                    s = int(starts[d])
+                    out.append(
+                        np.unique(np.array([h[s : s + m_d].min()], dtype=np.uint64))
+                        if m_d >= 1
+                        else empty
+                    )
+                    continue
+                s = int(starts[d])
+                out.append(np.unique(mins[s : s + m_d - w + 1]))
+            return out
+
+        filt = tier(Lp)
+        conf = tier(L)
+    return filt, conf
+
+
 def lgram_hashes(text: str, L: int) -> np.ndarray:
     """Sorted unique content-only polynomial hashes of every L-char window.
     Two docs share a verbatim >= L substring IFF their L-gram hash sets
@@ -234,17 +334,20 @@ def sa_verify_pairs(
     round-2 version joined full texts to every pair, so a doc in P pairs
     shipped its text P times — the verify stage's dominant shuffle at scale):
 
-      1. PREFILTER (exact-recall): each candidate doc is hashed ONCE into a
-         winnowed fingerprint set (winnowed_fingerprints — content-defined,
-         ~25x smaller than the full L-gram set); pairs join fingerprint
-         ARRAYS and are kept iff ``arrays_overlap`` (JVM codegen, no
-         Python). The winnowing window guarantees every true >= L pair
-         survives; survivors may include pairs sharing only L'..L-1 chars.
-      2. EXACT verify: only survivor docs (≈ output-sized) are re-hashed
-         into their FULL L-gram sets; survivor pairs join those arrays and
-         keep iff ``arrays_overlap`` — "sets intersect" IS the >= L verbatim
-         substring criterion (lgram_hashes docstring), so final semantics
-         are identical to the round-2 kernel.
+      1. WINNOW PASS (decides almost every pair): each candidate doc is
+         hashed ONCE into TWO small fingerprint arrays
+         (winnow_pair_fingerprints): filter fps (exact recall — a miss
+         exactly rejects) and confirm fps (a hit is PROOF of a >= L match
+         under the same L-gram-hash criterion the exact phase tests).
+         Pairs join the arrays and split three ways with JVM-side
+         ``arrays_overlap`` — filter-miss rejected, confirm-hit accepted.
+      2. EXACT verify, RESIDUE ONLY: the narrow undecided band (shared
+         region < L + w - 1 chars — prefilter near-misses and short true
+         matches) re-hashes just those docs into FULL L-gram sets and
+         keeps pairs iff the sets intersect — "sets intersect" IS the
+         >= L verbatim substring criterion (lgram_hashes docstring). The
+         full arrays are ~25x larger than the fingerprints, so keeping
+         them off the decided pairs is most of this operator's cost model.
 
     Per-doc work is O(len) in both phases; per-pair work is JVM-side set
     intersection of pre-sorted hash arrays. The suffix-array layer remains
@@ -252,13 +355,21 @@ def sa_verify_pairs(
     below). ``max_group_chars`` is retained for signature compatibility."""
     L = int(min_match_chars)
     pairs = candidates.select("a", "b").distinct()
-    cand_ids = _endpoint_ids(pairs)
+    tbl = winnow_hash_table(extracted, _endpoint_ids(pairs), L)
+    ta = tbl.select(F.col("doc_id").alias("a"), F.col("h").alias("h_a"), F.col("hc").alias("hc_a"))
+    tb = tbl.select(F.col("doc_id").alias("b"), F.col("h").alias("h_b"), F.col("hc").alias("hc_b"))
     survivors = materialize(
-        hash_overlap_join(pairs, lgram_hash_table(extracted, cand_ids, L, full_grams=False))
+        pairs.join(ta, "a")
+        .join(tb, "b")
+        .filter(F.arrays_overlap("h_a", "h_b"))
+        .select("a", "b", F.arrays_overlap("hc_a", "hc_b").alias("confirmed"))
     )
-    return hash_overlap_join(
-        survivors, lgram_hash_table(extracted, _endpoint_ids(survivors), L, full_grams=True)
+    confirmed = survivors.filter("confirmed").select("a", "b")
+    residue = survivors.filter(~F.col("confirmed")).select("a", "b")
+    exact = hash_overlap_join(
+        residue, lgram_hash_table(extracted, _endpoint_ids(residue), L, full_grams=True)
     )
+    return confirmed.union(exact)
 
 
 def _endpoint_ids(pairs: DataFrame) -> DataFrame:
@@ -294,6 +405,39 @@ def lgram_hash_table(
             yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "h": arrs})
 
     return docs.mapInPandas(run, schema=HASH_TBL_SCHEMA)
+
+
+WINNOW_TBL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("h", ArrayType(LongType())),
+        StructField("hc", ArrayType(LongType())),
+    ]
+)
+
+
+def winnow_hash_table(extracted: DataFrame, ids: DataFrame, min_match_chars: int) -> DataFrame:
+    """Doc-keyed (doc_id, h=filter fps, hc=confirm fps) — both fingerprint
+    tiers from one batched text pass (winnow_pair_fingerprints_batch: one
+    concatenated rolling-hash + sliding-min per Arrow batch, not ~30 small
+    numpy calls per doc)."""
+    docs = extracted.join(ids, "doc_id").select("doc_id", "text")
+    L = int(min_match_chars)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            filt, conf = winnow_pair_fingerprints_batch(list(pdf["text"]), L)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "h": [f.view(np.int64) for f in filt],
+                    "hc": [c.view(np.int64) for c in conf],
+                }
+            )
+
+    return docs.mapInPandas(run, schema=WINNOW_TBL_SCHEMA)
 
 
 def hash_overlap_join(pairs: DataFrame, htbl: DataFrame) -> DataFrame:

@@ -224,6 +224,72 @@ class TestWinnowedVerify:
             f2 = winnowed_fingerprints(t2, L)
             assert np.intersect1d(f1, f2).size > 0, f"trial {trial}"
 
+    def test_confirm_tier_guarantee_and_soundness(self):
+        """Confirm fingerprints (winnow_pair_fingerprints[1]): a shared
+        substring of >= L + w - 1 chars MUST produce overlapping confirm
+        sets (guarantee), and any confirm overlap must be a genuine shared
+        L-gram hash (soundness vs lgram_hashes) — i.e. a confirm hit is
+        proof under the exact phase's own criterion."""
+        from datasketches_postgresql_spark.dedup.suffix import (
+            lgram_hashes,
+            winnow_pair_fingerprints,
+            winnow_params,
+        )
+
+        rng = np.random.default_rng(13)
+        L = 200
+        _, w = winnow_params(L)
+        for trial in range(10):
+            shared = "".join(rng.choice(list("abcdefgh "), size=L + w - 1))
+            t1 = "".join(rng.choice(list("uvwxyz"), size=150)) + shared
+            t2 = shared + "".join(rng.choice(list("klmnop"), size=150))
+            f1, c1 = winnow_pair_fingerprints(t1, L)
+            f2, c2 = winnow_pair_fingerprints(t2, L)
+            hit = np.intersect1d(c1, c2)
+            assert hit.size > 0, f"trial {trial}: confirm guarantee violated"
+            assert np.intersect1d(f1, f2).size > 0
+            # soundness: every confirm fp is one of the doc's L-gram hashes
+            assert np.isin(c1, lgram_hashes(t1, L)).all()
+            assert np.isin(c2, lgram_hashes(t2, L)).all()
+        # below the confirm threshold the pair may be unconfirmed, but the
+        # filter tier still guarantees survival for a >= L match
+        shared = "".join(rng.choice(list("abcdefgh "), size=L))
+        f1, _c1 = winnow_pair_fingerprints("x" * 300 + shared, L)
+        f2, _c2 = winnow_pair_fingerprints(shared + "y" * 300, L)
+        assert np.intersect1d(f1, f2).size > 0
+
+    def test_batched_winnow_matches_scalar(self):
+        """winnow_pair_fingerprints_batch over a mixed batch (long docs,
+        short docs below L, below L', empty) returns, per doc, EXACTLY the
+        scalar kernel's (filter, confirm) arrays — the concatenation seams
+        and global-offset hashing must be invisible."""
+        from datasketches_postgresql_spark.dedup.suffix import (
+            winnow_pair_fingerprints,
+            winnow_pair_fingerprints_batch,
+            winnow_params,
+        )
+
+        rng = np.random.default_rng(29)
+        L = 200
+        Lp, w = winnow_params(L)
+        alphabet = list("abcdefghij klmnop")
+        texts = []
+        for size in [0, 1, Lp - 1, Lp, L - 1, L, L + w - 2, L + w - 1, 500, 3000]:
+            texts.append("".join(rng.choice(alphabet, size=size)))
+        # duplicated content at different batch positions must hash identically
+        texts.append(texts[-1])
+        bf, bc = winnow_pair_fingerprints_batch(texts, L)
+        assert len(bf) == len(bc) == len(texts)
+        for i, t in enumerate(texts):
+            sf, sc = winnow_pair_fingerprints(t, L)
+            assert np.array_equal(bf[i], sf), f"doc {i} (len {len(t)}) filter tier"
+            assert np.array_equal(bc[i], sc), f"doc {i} (len {len(t)}) confirm tier"
+        assert np.array_equal(bf[-1], bf[-2]) and np.array_equal(bc[-1], bc[-2])
+        # singleton batch == scalar, and empty batch is well-formed
+        one_f, one_c = winnow_pair_fingerprints_batch([texts[-1]], L)
+        assert np.array_equal(one_f[0], bf[-1]) and np.array_equal(one_c[0], bc[-1])
+        assert winnow_pair_fingerprints_batch([], L) == ([], [])
+
     def test_sa_verify_pairs_exact_semantics(self, spark):
         """End-to-end: keeps exactly the pairs sharing >= L verbatim chars;
         a pair sharing L-1 chars is rejected by the exact phase even though

@@ -1,6 +1,7 @@
 """Training-data operator tests over the driver-provided documents and
 embeddings tables (+ synthetic cases)."""
 
+import numpy as np
 import pyspark.sql.functions as F
 import pytest
 
@@ -143,6 +144,37 @@ class TestAnn:
         # cosines sit at ~0.3); on real near-dup embeddings (cos>=0.9)
         # the same config is ~exact
         assert recall >= 0.7, f"ANN recall {recall} too low"
+
+    def test_ivf_recall_and_determinism(self, spark, embs):
+        """IVF-Flat scale path: centroid training is deterministic, every
+        corpus row lands in exactly one cell, and n_probe=8 of 16 cells
+        recovers most of the brute-force top-5 (random embeddings are the
+        worst case for any cosine ANN — half the cells hold half the
+        probability mass of a query's true neighbors)."""
+        c1 = ANN.ivf_train_centroids(embs, "embedding", dim=64, n_cells=16, iters=8)
+        c2 = ANN.ivf_train_centroids(embs, "embedding", dim=64, n_cells=16, iters=8)
+        assert np.array_equal(c1, c2)
+        assert c1.shape == (16, 64)
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+        assigned = ANN.ivf_assign(embs, "vec_id", "embedding", c1)
+        n_corpus = embs.count()
+        assert assigned.count() == n_corpus  # exactly one cell per row
+        cells = assigned.groupBy("cell").count().collect()
+        assert all(0 <= r["cell"] < 16 for r in cells)
+
+        qs = embs.where("vec_id < 10")
+        exact = ANN.cosine_topk(embs, qs, "vec_id", "embedding", k=5)
+        approx = ANN.ivf_topk(assigned, qs, "vec_id", "embedding", c1, k=5, n_probe=8)
+        e = {(r["qid"], r["id"]) for r in exact.collect()}
+        a = {(r["qid"], r["id"]) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.6, f"IVF recall {recall} too low"
+        # a query's own cell is always among its probes: rank-1 self-ish
+        # neighbors in the same cell are never missed
+        full = ANN.ivf_topk(assigned, qs, "vec_id", "embedding", c1, k=5, n_probe=16)
+        f = {(r["qid"], r["id"]) for r in full.collect()}
+        assert f == e, "probing every cell must equal brute force"
 
 
 class TestMultimodal:

@@ -780,10 +780,22 @@ def q_text_langid(spark, sf_dir):
 
 
 def q_text_fingerprint(spark, sf_dir):
-    """Min-shingle winnowing fingerprint (rows-only: the rolling hash is not
-    SQL-expressible; determinism across parallelism is pytest-verified)."""
+    """Min-shingle winnowing fingerprint, as a hash-checkable gate: the
+    fingerprint VALUE is not SQL-expressible (rolling hash), so the gate
+    asserts per-doc invariants whose truth the oracle states as constants —
+    the fingerprint is identical under a different partitioning (the
+    determinism invariant the north rule requires of every per-doc column)
+    and defined (nonzero) for every doc long enough to hold one 9-gram."""
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", TA.doc_fingerprint(F.col("text")).alias("fingerprint"))
+    a = d.select("doc_id", "n_chars", TA.doc_fingerprint(F.col("text")).alias("fp"))
+    b = d.repartition(7, "doc_id").select(
+        "doc_id", TA.doc_fingerprint(F.col("text")).alias("fp2")
+    )
+    return a.join(b, "doc_id").select(
+        "doc_id",
+        (F.col("fp") == F.col("fp2")).alias("deterministic"),
+        ((F.col("fp") != 0) | (F.col("n_chars") < 9)).alias("defined"),
+    )
 
 
 def q_doclen_kll_by_lang(spark, sf_dir):
@@ -1292,10 +1304,12 @@ def oracle_sql() -> dict[str, str]:
         "webdedup_clusters": """
             SELECT doc_id AS cluster_rep, 2 AS size FROM documents ORDER BY cluster_rep
         """,
-        # text_fingerprint: the ONE intentionally no-oracle gate — the
-        # winnowing rolling hash is not SQL-expressible; determinism across
-        # parallelism is pytest-verified. aod_ttest and ann_lsh became
-        # hash-checkable constant-true gates in round 3 (see their
-        # docstrings), so the driver now records a full comparison for 48
-        # of 49 queries.
+        # text_fingerprint joined the constant-true pattern in round 3
+        # (cross-partitioning determinism + definedness as per-doc
+        # booleans), so with aod_ttest and ann_lsh every recorded gate is
+        # now a full hash comparison — zero rows-only cells.
+        "text_fingerprint": """
+            SELECT doc_id, TRUE AS deterministic, TRUE AS defined
+            FROM documents ORDER BY doc_id
+        """,
     }

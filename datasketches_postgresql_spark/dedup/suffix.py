@@ -235,32 +235,66 @@ def winnow_pair_fingerprints(text: str, min_match_chars: int) -> tuple[np.ndarra
     return filt, np.unique(_sliding_min_u64(h_c, w))
 
 
+# Sub-block size for the batched winnow kernel, in codepoints. A whole
+# 10k-doc Arrow batch concatenates to ~100+ MB per u64 temporary — past
+# glibc's 32 MiB mmap-threshold cap, so EVERY call would mmap and pay this
+# VM's slow first-touch page faults (the cost _alloc.py exists to avoid).
+# 2M codepoints keeps each temporary ~16 MB: heap-retained and reused
+# across sub-batches, while still amortizing numpy call overhead over
+# ~1.4k docs per block (the per-call overhead the batching removes is
+# ~30 small allocations per DOC, not per block).
+_WINNOW_BLOCK_CODES = 2_000_000
+
+
 def winnow_pair_fingerprints_batch(
     texts, min_match_chars: int
 ) -> tuple[list[np.ndarray], list[np.ndarray]]:
-    """Batched winnow_pair_fingerprints: ONE concatenated rolling-hash +
-    sliding-min pass for a whole Arrow batch instead of ~30 small numpy
-    calls per doc (which dominate the verify stage's wall time at ~0.5 ms
-    per doc). Sound because the telescoped polynomial hash
+    """Batched winnow_pair_fingerprints: one concatenated rolling-hash +
+    sliding-min pass per ~2M-codepoint doc-aligned block instead of ~30
+    small numpy calls per doc (which dominate the verify stage's wall time
+    at ~0.5 ms per doc). Sound because the telescoped polynomial hash
     (S[l+L]-S[l])*B^(l+L) is content-only — global positions produce the
     SAME hash values as per-doc offsets — and a window minimum is only
     taken at positions whose window lies entirely inside one doc, so the
-    concatenation seams never contribute. Returns per-doc (filter fps,
-    confirm fps), each identical to the scalar kernel's output."""
+    concatenation seams never contribute; block boundaries are doc-aligned,
+    so blocking cannot change any doc's output either. Returns per-doc
+    (filter fps, confirm fps), each identical to the scalar kernel's."""
+    code_parts = [
+        np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+        for t in texts
+    ]
+    ndocs = len(code_parts)
+    if ndocs == 0:
+        return [], []
+    filt: list[np.ndarray] = []
+    conf: list[np.ndarray] = []
+    b0 = 0
+    while b0 < ndocs:
+        b1 = b0 + 1
+        m = code_parts[b0].size
+        while b1 < ndocs and m + code_parts[b1].size <= _WINNOW_BLOCK_CODES:
+            m += code_parts[b1].size
+            b1 += 1
+        f, c = _winnow_block(code_parts[b0:b1], min_match_chars)
+        filt.extend(f)
+        conf.extend(c)
+        b0 = b1
+    return filt, conf
+
+
+def _winnow_block(
+    code_parts: list[np.ndarray], min_match_chars: int
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """One doc-aligned block of the batched winnow kernel (see
+    winnow_pair_fingerprints_batch for the soundness argument)."""
     L = int(min_match_chars)
     Lp, w = winnow_params(L)
     from .chunking import _prefix_powers
     from .shingle import splitmix64
 
-    code_parts = [
-        np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
-        for t in texts
-    ]
     lens = np.array([c.size for c in code_parts], dtype=np.int64)
     ndocs = lens.size
     empty = np.empty(0, dtype=np.uint64)
-    if ndocs == 0:
-        return [], []
     codes = np.concatenate(code_parts) if ndocs > 1 else code_parts[0]
     n = codes.size
     if n == 0:

@@ -290,6 +290,24 @@ class TestWinnowedVerify:
         assert np.array_equal(one_f[0], bf[-1]) and np.array_equal(one_c[0], bc[-1])
         assert winnow_pair_fingerprints_batch([], L) == ([], [])
 
+    def test_batched_winnow_block_boundaries(self, monkeypatch):
+        """Sub-blocking (the mmap-threshold cap) is invisible: forcing a
+        tiny block size so the batch spans many blocks — including a doc
+        bigger than the cap, which must get a solo block — yields exactly
+        the unblocked output."""
+        import datasketches_postgresql_spark.dedup.suffix as sx
+
+        rng = np.random.default_rng(31)
+        L = 200
+        alphabet = list("abcdefghij klmnop")
+        texts = ["".join(rng.choice(alphabet, size=int(s))) for s in rng.integers(150, 900, size=12)]
+        texts.append("".join(rng.choice(alphabet, size=5000)))  # > block cap below
+        want = sx.winnow_pair_fingerprints_batch(texts, L)
+        monkeypatch.setattr(sx, "_WINNOW_BLOCK_CODES", 1000)
+        got = sx.winnow_pair_fingerprints_batch(texts, L)
+        for a, b in zip(want[0] + want[1], got[0] + got[1]):
+            assert np.array_equal(a, b)
+
     def test_sa_verify_pairs_exact_semantics(self, spark):
         """End-to-end: keeps exactly the pairs sharing >= L verbatim chars;
         a pair sharing L-1 chars is rejected by the exact phase even though

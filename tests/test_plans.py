@@ -134,3 +134,18 @@ class TestPlanQuality:
                 assert "text" not in line, line
         # and the old per-pair text aliases must be gone everywhere
         assert "text_a" not in plan and "text_b" not in plan
+
+    def test_ivf_probe_join_broadcasts_queries(self, spark, sf_dir):
+        """IVF search contract: the probe side (qid, cell) broadcasts, so the
+        corpus-side inverted file streams — the only exchange left is the
+        per-query window rank over the (small) scored candidate set, never a
+        corpus-wide sort-merge join."""
+        from datasketches_postgresql_spark.textops import ann as ANN
+
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cent = ANN.ivf_train_centroids(embs, "embedding", dim=64, n_cells=8, iters=3)
+        assigned = ANN.ivf_assign(embs, "vec_id", "embedding", cent)
+        q = ANN.ivf_topk(assigned, embs.limit(5), "vec_id", "embedding", cent, k=3, n_probe=2)
+        plan = formatted_plan(q)
+        assert has_broadcast_join(q), plan
+        assert "SortMergeJoin" not in plan, plan

@@ -193,7 +193,9 @@ def simhash(shingles: list[np.ndarray]) -> np.ndarray:
     return out.view(np.int64)
 
 
-def signature_schema(bands: int = 32, with_chunks: bool = False) -> StructType:
+def signature_schema(
+    bands: int = 32, with_chunks: bool = False, winnow_chars: int | None = None
+) -> StructType:
     """Signature-stage output schema. The band count is stamped into the
     ``band_hashes`` field metadata (survives parquet checkpoints) so
     lsh.band_hashes can verify the precomputed banding matches a caller's
@@ -224,6 +226,21 @@ def signature_schema(bands: int = 32, with_chunks: bool = False) -> StructType:
         # of re-reading the extracted text (~+2% stored bytes per doc vs a
         # second full text scan at 10^12-doc scale)
         fields.append(StructField("chunk_hashes", ArrayType(LongType())))
+    if winnow_chars is not None:
+        # Substring-verify winnow fingerprints (filter + confirm tier),
+        # computed in the SAME text pass (suffix.winnow_pair_fingerprints
+        # _batch) — the verify stage then joins these stored arrays to
+        # candidate pairs instead of re-scanning the corpus text. The L
+        # they were built for is stamped into metadata so the verify layer
+        # can refuse a mismatched config instead of silently using them.
+        fields.append(
+            StructField(
+                "winnow_h",
+                ArrayType(LongType()),
+                metadata={"winnow_chars": int(winnow_chars)},
+            )
+        )
+        fields.append(StructField("winnow_hc", ArrayType(LongType())))
     return StructType(fields)
 
 
@@ -268,15 +285,18 @@ def signature_stage(
     bands: int = 32,
     rows: int = 4,
     cdc: tuple[int, int] | None = None,
+    winnow_chars: int | None = None,
 ) -> DataFrame:
     """(doc_id, url, text, ...) ->
     (doc_id, url, n_shingles, minhash, simhash, band_hashes, sig_hash
-     [, chunk_hashes]).
+     [, chunk_hashes] [, winnow_h, winnow_hc]).
 
     With ``cdc=(divisor, min_chunk)`` the CDC chunk content hashes are
     computed in the SAME text pass (fused kernel) and emitted as an extra
     array column — the exact-substring candidate layer then needs no second
-    scan of the extracted text."""
+    scan of the extracted text. With ``winnow_chars=L`` the substring
+    verifier's two winnow fingerprint tiers ride the same pass too, so the
+    VERIFY stage also needs no text re-scan (see signature_schema)."""
     assert bands * rows == num_perm, "bands x rows must cover the signature"
     proj = extracted.select("doc_id", "url", "text")
     from ..sketches import theta as _theta
@@ -310,8 +330,19 @@ def signature_stage(
             }
             if cdc is not None:
                 cols["chunk_hashes"] = [c.view(np.int64) for c in ch]
+            if winnow_chars is not None:
+                from .suffix import winnow_pair_fingerprints_batch
+
+                wf, wc = winnow_pair_fingerprints_batch(
+                    list(pdf["text"]), winnow_chars
+                )
+                cols["winnow_h"] = [f.view(np.int64) for f in wf]
+                cols["winnow_hc"] = [c.view(np.int64) for c in wc]
             yield pd.DataFrame(cols)
 
     return proj.mapInPandas(
-        run, schema=signature_schema(bands, with_chunks=cdc is not None)
+        run,
+        schema=signature_schema(
+            bands, with_chunks=cdc is not None, winnow_chars=winnow_chars
+        ),
     )

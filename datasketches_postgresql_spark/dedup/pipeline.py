@@ -46,6 +46,7 @@ from .suffix import (
     DEFAULT_MAX_GROUP_CHARS,
     DEFAULT_MIN_MATCH_CHARS,
     containment_edges,
+    fused_winnow_table,
     sa_verify_pairs,
 )
 from .verify import DEFAULT_JACCARD, DEFAULT_MAX_HAMMING, verify_edges
@@ -76,6 +77,14 @@ class DedupConfig:
     # of the corpus feeds both the near-dup and exact-substring layers);
     # False = standalone chunk_stage second scan (the pre-fusion shape)
     fuse_cdc: bool = True
+    # fuse the substring verifier's winnow fingerprints into the same pass
+    # and store them on the signature row (~2 arrays/doc), so the verify
+    # stage joins stored arrays instead of re-scanning corpus text. Right
+    # when most docs end up candidate endpoints (boilerplate-heavy web
+    # crawls, and every measured CI corpus); set False when endpoints are a
+    # small corpus fraction and re-hashing just those is cheaper than
+    # storing fingerprints for everyone.
+    fuse_winnow: bool = True
     lineage_lg_k: int = 12
 
     def config_hash(self) -> str:
@@ -221,6 +230,7 @@ class DedupPipeline:
         self._metric("extracted", "rows", self._rows("extracted"))
 
         fuse = cfg.fuse_cdc and cfg.enable_containment and cfg.substring_mode == "cdc"
+        fuse_win = cfg.fuse_winnow and cfg.enable_containment and cfg.substring_mode == "cdc"
         signatures = self._stage(
             "signatures",
             lambda: signature_stage(
@@ -231,6 +241,7 @@ class DedupPipeline:
                 bands=cfg.bands,
                 rows=cfg.rows,
                 cdc=(cfg.cdc_divisor, cfg.cdc_min_chunk) if fuse else None,
+                winnow_chars=cfg.sa_min_match_chars if fuse_win else None,
             ),
             resume,
         )
@@ -261,8 +272,17 @@ class DedupPipeline:
                     cand = substring_candidates(
                         extracted, cfg.cdc_divisor, cfg.cdc_min_chunk, chunks=pre
                     )
+                    win_tbl = (
+                        fused_winnow_table(signatures, cfg.sa_min_match_chars)
+                        if fuse_win
+                        else None
+                    )
                     cont = sa_verify_pairs(
-                        cand, extracted, cfg.sa_min_match_chars, cfg.sa_max_group_chars
+                        cand,
+                        extracted,
+                        cfg.sa_min_match_chars,
+                        cfg.sa_max_group_chars,
+                        winnow_tbl=win_tbl,
                     )
                 else:
                     host = F.regexp_extract("url", r"https?://([^/]+)/", 1)

@@ -360,6 +360,7 @@ def sa_verify_pairs(
     extracted: DataFrame,
     min_match_chars: int = DEFAULT_MIN_MATCH_CHARS,
     max_group_chars: int = DEFAULT_MAX_GROUP_CHARS,
+    winnow_tbl: DataFrame | None = None,
 ) -> DataFrame:
     """Verify candidate edges (a, b): keep exactly the pairs sharing a
     verbatim >= min_match_chars substring.
@@ -386,10 +387,21 @@ def sa_verify_pairs(
     Per-doc work is O(len) in both phases; per-pair work is JVM-side set
     intersection of pre-sorted hash arrays. The suffix-array layer remains
     the engine of the host-grouped containment mode (containment_edges
-    below). ``max_group_chars`` is retained for signature compatibility."""
+    below). ``max_group_chars`` is retained for signature compatibility.
+
+    ``winnow_tbl``: optional PRECOMPUTED (doc_id, h, hc) fingerprint table
+    — normally the fused columns the signature stage emitted from its own
+    text pass (pipeline ``fuse_winnow``), which saves this operator its
+    only corpus-text re-scan; when None the table is built here from
+    ``extracted`` over just the candidate endpoints (the right trade when
+    endpoints are a small fraction of the corpus)."""
     L = int(min_match_chars)
     pairs = candidates.select("a", "b").distinct()
-    tbl = winnow_hash_table(extracted, _endpoint_ids(pairs), L)
+    tbl = (
+        winnow_tbl.select("doc_id", "h", "hc")
+        if winnow_tbl is not None
+        else winnow_hash_table(extracted, _endpoint_ids(pairs), L)
+    )
     ta = tbl.select(F.col("doc_id").alias("a"), F.col("h").alias("h_a"), F.col("hc").alias("hc_a"))
     tb = tbl.select(F.col("doc_id").alias("b"), F.col("h").alias("h_b"), F.col("hc").alias("hc_b"))
     survivors = materialize(
@@ -448,6 +460,23 @@ WINNOW_TBL_SCHEMA = StructType(
         StructField("hc", ArrayType(LongType())),
     ]
 )
+
+
+def fused_winnow_table(signatures: DataFrame, min_match_chars: int) -> DataFrame:
+    """(doc_id, h, hc) view over a signature table's fused winnow columns,
+    REFUSING a table whose fingerprints were built for a different L (the
+    stamp survives parquet checkpoints — same contract as lsh.band_hashes)
+    instead of silently producing wrong verify decisions."""
+    meta = signatures.schema["winnow_h"].metadata or {}
+    stamped = meta.get("winnow_chars")
+    if stamped is not None and int(stamped) != int(min_match_chars):
+        raise ValueError(
+            f"fused winnow fingerprints were built for min_match_chars="
+            f"{stamped}, config wants {min_match_chars}"
+        )
+    return signatures.select(
+        "doc_id", F.col("winnow_h").alias("h"), F.col("winnow_hc").alias("hc")
+    )
 
 
 def winnow_hash_table(extracted: DataFrame, ids: DataFrame, min_match_chars: int) -> DataFrame:

@@ -176,3 +176,75 @@ class TestFusedCdc:
                 for r in res.collect()
             )
         assert outs[True] == outs[False]
+
+
+class TestFusedWinnow:
+    def test_fused_and_unfused_verified_identical(self, spark, tmp_path):
+        """fuse_winnow moves the verify stage's fingerprint hashing into the
+        signature pass; the verified edge set and final clustering must be
+        EXACTLY the unfused output (same kernel, same values — only where
+        they are computed changes)."""
+        from datasketches_postgresql_spark.dedup.pipeline import (
+            DedupConfig,
+            DedupPipeline,
+        )
+        from datasketches_postgresql_spark.sources.corpus import generate_corpus
+
+        pages, _ = generate_corpus(spark, 1500, partitions=8)
+        outs, edges = {}, {}
+        for fuse in (True, False):
+            pipe = DedupPipeline(
+                spark, str(tmp_path / f"ckw_{fuse}"), DedupConfig(fuse_winnow=fuse)
+            )
+            res = pipe.run(pages, resume=False)
+            edges[fuse] = sorted(
+                (r["a"], r["b"]) for r in res["verified"].collect()
+            )
+            outs[fuse] = sorted(
+                (r["doc_id"], r["cluster_id"], r["is_representative"])
+                for r in res["resolved"].collect()
+            )
+        assert edges[True] == edges[False]
+        assert outs[True] == outs[False]
+
+    def test_fused_columns_match_kernel(self, spark):
+        """The stored winnow_h/winnow_hc columns equal the scalar kernel's
+        output per doc, and the schema carries the L stamp."""
+        import numpy as np
+
+        from datasketches_postgresql_spark.dedup.minhash import signature_stage
+        from datasketches_postgresql_spark.dedup.suffix import (
+            winnow_pair_fingerprints,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "u1", "the quick brown fox " * 40), (2, "u2", "tiny"), (3, "u3", "x" * 500)],
+            "doc_id long, url string, text string",
+        )
+        sig = signature_stage(df, winnow_chars=200)
+        assert (sig.schema["winnow_h"].metadata or {}).get("winnow_chars") == 200
+        rows = {r["doc_id"]: r for r in sig.collect()}
+        texts = {r["doc_id"]: r["text"] for r in df.collect()}
+        for d, t in texts.items():
+            f, c = winnow_pair_fingerprints(t, 200)
+            assert list(f.view(np.int64)) == list(rows[d]["winnow_h"])
+            assert list(c.view(np.int64)) == list(rows[d]["winnow_hc"])
+
+    def test_mismatched_winnow_config_refused(self, spark):
+        """A signature table whose fused fingerprints were built for a
+        different L must be refused by the verify layer, not silently
+        reused (fused_winnow_table — the pipeline's validation path)."""
+        import pytest
+
+        from datasketches_postgresql_spark.dedup.minhash import signature_stage
+        from datasketches_postgresql_spark.dedup.suffix import fused_winnow_table
+
+        df = spark.createDataFrame(
+            [(1, "u1", "some text " * 30)], "doc_id long, url string, text string"
+        )
+        sigs = signature_stage(df, winnow_chars=200)
+        with pytest.raises(ValueError, match="min_match_chars=200"):
+            fused_winnow_table(sigs, 150)
+        # matching config passes through with the (doc_id, h, hc) shape
+        tbl = fused_winnow_table(sigs, 200)
+        assert tbl.columns == ["doc_id", "h", "hc"]

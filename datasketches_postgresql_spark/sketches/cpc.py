@@ -14,6 +14,14 @@ vs CPC's ~k bytes) and estimates by maximizing the exact per-column
 likelihood, giving the same accuracy CLASS (measured RSE ~= 0.8/sqrt(k),
 vs theta's 1/sqrt(k) at equal lg_k and far fewer stored bits per coupon).
 
+Why no canonical DataSketches CPC image (unlike theta/HLL/KLL/REQ/FI/AOD,
+which all interop here): the compressed CPC wire format is defined by
+~22x256-entry length-limited-code constant tables plus a 65-entry Golomb
+table published only as data in the datasketches-* sources — they are not
+derivable from the paper, and this sandbox has no network or datasketches
+library to source or validate them against. The uncompressed matrix is
+therefore a deliberate, documented engine-private format, not an oversight.
+
 - merge = bitwise OR (order-independent, idempotent — safely mergeable
   partials, unlike HIP-augmented streaming estimators);
 - sparse mode below 2k coupons stores (row<<6 | col) u32 coupons — both the

@@ -335,3 +335,42 @@ class TestWinnowedVerify:
             tuple(r) for r in sa_verify_pairs(cands, extracted, L).collect()
         )
         assert got == [(1, 2)]
+
+
+class TestSkewBoundedCandidates:
+    """Evidence for the north rule's 'skew handled explicitly' clause: a
+    pathological LSH bucket (boilerplate shared by every doc — the web-crawl
+    worst case) must cost O(bucket) candidate edges, not O(bucket^2), while
+    keeping full connectivity so no true duplicate pair is lost."""
+
+    def test_mega_bucket_emits_linear_star_edges(self, spark):
+        from datasketches_postgresql_spark.dedup.lsh import candidate_edges
+        from datasketches_postgresql_spark.dedup.minhash import signature_stage
+
+        n = 3000
+        rows = [(i, f"https://h/{i}", "common boilerplate page text " * 30) for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+        edges = candidate_edges(signature_stage(df)).collect()
+        # identical texts -> identical signatures -> every band bucket holds
+        # all n docs; the hybrid path stars each doc to the signature
+        # sub-group minimum: exactly n-1 edges (all-pairs would be ~4.5M)
+        assert len(edges) == n - 1
+        assert all(e["a"] == 0 for e in edges)
+        assert sorted(e["b"] for e in edges) == list(range(1, n))
+
+    def test_mega_bucket_clusters_completely(self, spark):
+        """The star edges must survive verification (signature-identical =>
+        jaccard_est 1.0) and resolve to ONE cluster containing every doc."""
+        from datasketches_postgresql_spark.dedup.cc import connected_components
+        from datasketches_postgresql_spark.dedup.lsh import candidate_edges
+        from datasketches_postgresql_spark.dedup.minhash import signature_stage
+        from datasketches_postgresql_spark.dedup.verify import verify_edges
+
+        n = 500
+        rows = [(i, f"https://h/{i}", "shared boilerplate body " * 40) for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+        sigs = signature_stage(df)
+        verified = verify_edges(candidate_edges(sigs), sigs)
+        clusters = connected_components(verified).collect()
+        assert len(clusters) == n
+        assert len({r["cluster_id"] for r in clusters}) == 1

@@ -475,18 +475,14 @@ def _aod_events(spark, sf_dir):
     )
 
 
-def q_aod_estimate(spark, sf_dir):
-    sk = AOD.aod_sketch_build(_aod_events(spark, sf_dir), [], "user_id", "vals")
-    return sk.select(
-        AOD.aod_sketch_get_estimate("sketch").cast("bigint").alias("distinct_users")
-    )
-
-
 def q_aod_moments(spark, sf_dir):
-    """aod_sketch_to_means + to_variances (sql:225-231) in one gate (merged
-    round-2 aod_means + aod_variances)."""
+    """aod_sketch_get_estimate + to_means + to_variances (sql:205-231) in
+    ONE gate (merged round-2 aod_means + aod_variances, and round-3
+    aod_estimate — keeps the gate list at exactly the driver's 50-row
+    recording window after webdedup_incremental joined it)."""
     sk = AOD.aod_sketch_build(_aod_events(spark, sf_dir), [], "user_id", "vals")
     return sk.select(
+        AOD.aod_sketch_get_estimate("sketch").cast("bigint").alias("distinct_users"),
         F.round(AOD.aod_sketch_to_means("sketch").getItem(0), 6).alias("mean_user_sum"),
         F.round(AOD.aod_sketch_to_variances("sketch").getItem(0), 4).alias("var_user_sum"),
     )
@@ -857,21 +853,79 @@ def q_webdedup_clusters(spark, sf_dir):
     )
 
 
+def q_webdedup_incremental(spark, sf_dir):
+    """Batch-append dedup equivalence (constant-true gate, aod_ttest
+    pattern): documents+copies split by url hash into a base corpus and an
+    increment; a full DedupPipeline.run over everything and a base run +
+    run_incremental must land on EXACTLY the same cluster and resolved
+    mappings. This is the shape a 100 TB training pipeline actually runs —
+    each crawl increment dedups against the accumulated corpus without
+    re-processing it (reference analogue: stored sketches re-aggregate on
+    new data instead of rescanning history, /root/reference/sql/
+    datasketches_theta_sketch.sql merge aggregates)."""
+    import shutil
+    import tempfile
+
+    from datasketches_postgresql_spark.dedup.pipeline import (
+        DedupConfig,
+        DedupPipeline,
+    )
+
+    pages = _docs_with_copies(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), "text", F.lit("</body></html>")),
+            "utf-8",
+        ).alias("html"),
+        F.lit("en").alias("lang"),
+    )
+    bucket = F.pmod(F.xxhash64("url"), F.lit(3))
+    base, inc = pages.where(bucket <= 1), pages.where(bucket == 2)
+    cfg = DedupConfig()
+    d_full, d_inc = tempfile.mkdtemp(), tempfile.mkdtemp()
+    try:
+        full = DedupPipeline(spark, d_full, cfg).run(pages, resume=False)
+        pipe = DedupPipeline(spark, d_inc, cfg)
+        pipe.run(base, resume=False)
+        out = pipe.run_incremental(inc, batch_id="b1")
+        cf = {(r["doc_id"], r["cluster_id"]) for r in full["clusters"].collect()}
+        ci = {(r["doc_id"], r["cluster_id"]) for r in out["clusters"].collect()}
+        rf = {
+            (r["doc_id"], r["cluster_id"], r["is_representative"])
+            for r in full["resolved"].collect()
+        }
+        ri = {
+            (r["doc_id"], r["cluster_id"], r["is_representative"])
+            for r in out["resolved"].collect()
+        }
+        n_docs = len(rf)
+    finally:
+        shutil.rmtree(d_full, ignore_errors=True)
+        shutil.rmtree(d_inc, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_docs, int(cf == ci), int(rf == ri))],
+        "n_docs bigint, clusters_match int, resolved_match int",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: dedup clusters over sf0.001 documents + planted copies."""
     return q_webdedup_clusters(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """49 gates, every one inside the driver's 50-row recording window
+    """50 gates, every one inside the driver's 50-row recording window
     (round 2 recorded exactly 50 of 55 and silently dropped the rest, the
     flagship included). Eight low-value round-2 gate PAIRS are merged into
-    single gates covering both operators; two new wire gates (AOD, REQ)
-    are added. Ordered flagship-first so a tighter future cap still records
-    the queries that matter most."""
+    single gates covering both operators; round 3 adds wire gates (AOD,
+    REQ, quantiles) and the batch-append incremental-dedup equivalence
+    gate. Ordered flagship-first so a tighter future cap still records the
+    queries that matter most."""
     return {
         # -- flagship + the five queries the round-2 cap dropped -------------
         "webdedup_clusters": q_webdedup_clusters,
+        "webdedup_incremental": q_webdedup_incremental,
         "doclen_kll_by_lang": q_doclen_kll_by_lang,
         "text_langid": q_text_langid,
         "multimodal_decode": q_multimodal_decode,
@@ -914,7 +968,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fi_merge": q_fi_merge,
         "fi_wire_roundtrip": q_fi_wire_roundtrip,
         "sketch_to_string": q_sketch_to_string,
-        "aod_estimate": q_aod_estimate,
         "aod_moments": q_aod_moments,
         "aod_pair_setops": q_aod_pair_setops,
         "aod_to_kll_median": q_aod_to_kll_median,
@@ -1167,11 +1220,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
             ORDER BY estimate DESC, str
         """,
-        "aod_estimate": """
-            SELECT count(DISTINCT user_id) AS distinct_users FROM events
-        """,
         "aod_moments": """
-            SELECT round(avg(s), 6) AS mean_user_sum,
+            SELECT (SELECT count(DISTINCT user_id) FROM events) AS distinct_users,
+                   round(avg(s), 6) AS mean_user_sum,
                    round(var_samp(s), 4) AS var_user_sum
             FROM (SELECT sum(value) AS s FROM events GROUP BY user_id)
         """,
@@ -1303,6 +1354,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "webdedup_clusters": """
             SELECT doc_id AS cluster_rep, 2 AS size FROM documents ORDER BY cluster_rep
+        """,
+        "webdedup_incremental": """
+            SELECT 2 * count(*) AS n_docs, 1 AS clusters_match, 1 AS resolved_match
+            FROM documents
         """,
         # text_fingerprint joined the constant-true pattern in round 3
         # (cross-partitioning determinism + definedness as per-doc

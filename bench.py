@@ -234,6 +234,31 @@ def measure_level(cores: int, big: str, warm: str, runs: int) -> dict:
     raise RuntimeError(f"scaling level {cores} failed: {proc.stderr[-500:]}")
 
 
+def measure_incremental(cores: int, ckpt: str, batch_docs: int, runs: int) -> dict:
+    """Incremental-batch timing in a fresh subprocess (phase 2.5)."""
+    import subprocess
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools", "incremental_level.py"
+            ),
+            str(cores),
+            ckpt,
+            str(batch_docs),
+            str(runs),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=int(os.environ.get("SPARK_GRAFT_RUN_BUDGET_SEC", "600")) * (runs + 1),
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    return {"error": proc.stderr[-300:] if proc.stderr else "no output"}
+
+
 def reference_parity() -> dict:
     """Rerun the reference README's published benchmarks at REF_ROWS via
     bench_reference (its own session lifecycle); returns its JSON dict."""
@@ -273,6 +298,12 @@ def main() -> None:
     # dedup run ~25-35% vs a fresh-process run of the identical job.
     full = measure_level(CPUS, big, warm, 2)
     t_full = full["warm_min_sec"]
+
+    # --- phase 2.5: incremental batch-append against the full run's
+    # checkpoint (fresh subprocess; see tools/incremental_level.py) --------
+    inc = measure_incremental(
+        CPUS, os.path.join(DATA_DIR, f"bench_ckpt_{CPUS}"), max(n_docs // 10, 500), 2
+    )
 
     # --- phase 2: scaling evidence, N vs 4N (same input) --------------------
     hi = measure_level(SCALING_HIGH, scaling, warm, SCALING_RUNS)
@@ -320,6 +351,7 @@ def main() -> None:
     detail = {
         "queries_cold": queries_cold,
         "dedup_full": full,
+        "incremental": inc,
         "scaling_low": lo,
         "scaling_high": hi,
         "throughput_low": round(thr_lo, 1),
@@ -370,6 +402,16 @@ def main() -> None:
         "detail": "BENCH_DETAIL.json",
         "total_bench_sec": round(time.time() - t_total, 1),
     }
+    if "warm_min_sec" in inc:
+        # batch-append mode: time to dedup a 10% crawl increment against the
+        # checkpointed corpus; full_sec (the base-only full run) is a LOWER
+        # bound on any full rerun, so the speedup shown understates.
+        result["incremental"] = {
+            "batch_docs": inc["batch_docs"],
+            "sec": inc["warm_min_sec"],
+            "docs_per_sec": round(inc["batch_docs"] / inc["warm_min_sec"], 1),
+            "min_speedup_vs_full_rerun": round(t_full / inc["warm_min_sec"], 2),
+        }
     line = json.dumps(result, separators=(",", ":"))
     print(line)
     if len(line) > 1400:  # defensive: never regress the parse contract again

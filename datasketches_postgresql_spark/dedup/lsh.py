@@ -96,7 +96,24 @@ def candidate_edges(
     textops.dedupe.minhash_lsh_pairs)."""
     if mode == "pairs" and max_pair_bucket == 32:
         max_pair_bucket = 1000  # pair-listing default when caller kept the hybrid default
-    bh = band_hashes(signatures, bands, rows)
+    return candidate_edges_from_bands(
+        band_hashes(signatures, bands, rows),
+        max_pair_bucket=max_pair_bucket,
+        bucket_stats=bucket_stats,
+    )
+
+
+def candidate_edges_from_bands(
+    bh: DataFrame,
+    max_pair_bucket: int = 32,
+    bucket_stats: str = "window",
+) -> DataFrame:
+    """The hybrid bucket logic of :func:`candidate_edges` over an arbitrary
+    banded table (doc_id, sig_hash, band_hash). Separated out so the
+    incremental pipeline can feed it a union of the new batch's bands with
+    the OLD corpus's bands restricted (left-semi) to touched buckets —
+    bucket membership then matches a full run's, so per-bucket edges are
+    identical to what a full run over old+new would emit."""
     if bucket_stats == "window":
         # ONE shuffle: bucket count/min as window aggregates over
         # (band, band_hash). Faster than groupBy + join-back at moderate

@@ -99,9 +99,10 @@ class DedupPipeline:
         self.store = CheckpointStore(spark, checkpoint_dir)
         self._metrics: list[dict] = []
         self.stage_seconds: dict[str, float] = {}
+        self._recomputes = 0  # stages actually computed (vs read back)
 
     # -- lineage metrics -----------------------------------------------------
-    def _lineage_pass(self, signatures: DataFrame) -> None:
+    def _lineage_pass(self, signatures: DataFrame, prefix: str = "") -> None:
         """ONE Spark job computes every lineage metric: per-partition theta
         estimates over doc_id, their global union, and the union of the
         signature stage's per-batch shingle-theta partials. Map side emits
@@ -180,27 +181,27 @@ class DedupPipeline:
         for pp in r["per_pid"]:
             self._metrics.append(
                 {
-                    "stage": "extracted",
+                    "stage": prefix + "extracted",
                     "partition": int(pp["pid"]),
                     "metric": "distinct_ids_est",
                     "value": float(pp["est"]),
                 }
             )
         self._metrics.append(
-            {"stage": "extracted", "partition": -1, "metric": "distinct_ids_est",
+            {"stage": prefix + "extracted", "partition": -1, "metric": "distinct_ids_est",
              "value": float(r["doc_est"])}
         )
-        self._metric("signatures", "distinct_shingles_est", float(r["shingle_est"]))
+        self._metric(prefix + "signatures", "distinct_shingles_est", float(r["shingle_est"]))
 
     def _metric(self, stage: str, metric: str, value: float, partition: int = -1) -> None:
         self._metrics.append(
             {"stage": stage, "partition": partition, "metric": metric, "value": float(value)}
         )
 
-    def _flush_metrics(self) -> DataFrame:
+    def _flush_metrics(self, name: str = "lineage_metrics") -> DataFrame:
         pdf = pd.DataFrame(self._metrics or [{"stage": "none", "partition": -1, "metric": "none", "value": 0.0}])
         df = self.spark.createDataFrame(pdf)
-        return self.store.write(df, "lineage_metrics", self.config.config_hash())
+        return self.store.write(df, name, self.config.config_hash())
 
     def _rows(self, name: str) -> int:
         """Stage row count from the checkpoint manifest (counted once at
@@ -218,11 +219,13 @@ class DedupPipeline:
         t0 = _time.time()
         out = self.store.write(fn(), name, h)
         self.stage_seconds[name] = round(_time.time() - t0, 3)
+        self._recomputes += 1
         return out
 
     # -- the pipeline ------------------------------------------------------------
     def run(self, pages: DataFrame, resume: bool = True) -> dict[str, DataFrame]:
         cfg = self.config
+        n_computed_before = self._recomputes
         if cfg.ingest_partitions:
             pages = pages.repartition(cfg.ingest_partitions, F.xxhash64("url"))
 
@@ -316,6 +319,11 @@ class DedupPipeline:
             )
 
         resolved = self._stage("resolved", _resolved, resume)
+        # a RECOMPUTED full run is the new base: prior increments no longer
+        # describe the cumulative state (a fully-resumed run that only read
+        # checkpoints back recomputed nothing and leaves increments intact)
+        if self._recomputes > n_computed_before:
+            self.store.set_state(base_suffix="", batches=[])
         metrics = self._flush_metrics()
 
         return {
@@ -327,6 +335,268 @@ class DedupPipeline:
             "resolved": resolved,
             "metrics": metrics,
         }
+
+    # -- incremental: dedup a new crawl batch against the existing corpus ------
+    def run_incremental(
+        self, new_pages: DataFrame, batch_id: str = "b1", resume: bool = True
+    ) -> dict[str, DataFrame]:
+        """Dedup a NEW batch against a completed base run without
+        re-processing the old corpus — the shape a 100 TB training-data
+        pipeline actually runs (each crawl increment dedups against the
+        accumulated corpus; re-running the world per increment is not an
+        option).
+
+        What the OLD corpus contributes, and nothing more:
+          - banded signature rows for LSH buckets the new batch touches
+            (left-semi join on ``band_hash``; on a real deployment the
+            banded index is persisted bucketed by band_hash — Iceberg
+            ``bucket(band_hash)`` transform — so this prunes at scan time);
+          - CDC chunk rows for touched chunk buckets (same semi-join shape);
+          - minhash/simhash rows for docs that appear as candidate
+            endpoints (semi-join on endpoint ids before the verify join);
+          - its (doc_id, cluster_id) mapping, CONTRACTED: connected
+            components runs over new docs + touched old cluster ids, never
+            over old intra-cluster edges.
+
+        Equivalence to a full run over old+new (tested): touched buckets
+        are rebuilt with their complete membership, so their candidate
+        edges match the full run's; untouched buckets' connectivity is
+        already inside the old cluster mapping; and because cluster ids
+        are component-minimum doc ids, a merged component's id equals the
+        full run's (min over old cluster minima and new ids = global min).
+        The update is monotone — base-run connections are never lost.
+
+        ``resolved`` is updated incrementally too: representatives are
+        recomputed ONLY for clusters touched by this batch; untouched rows
+        are carried over (on Iceberg this is a MERGE on touched cluster
+        ids; the parquet fallback rewrites the table).
+
+        Stage checkpoints are suffixed with ``batch_id`` so increments are
+        individually resumable; the combined ``clusters``/``resolved``
+        state is checkpointed under ``clusters_{batch_id}`` /
+        ``resolved_{batch_id}`` and later increments chain off it (the
+        manifest records the ordered batch list — see ``_base_for``).
+        """
+        cfg = self.config
+        h = cfg.config_hash()
+        suffix, prior = self._base_for(batch_id)
+        for st in ("extracted", "signatures"):
+            if not self.store.completed(st, h):
+                raise ValueError(
+                    f"run_incremental needs a completed base stage '{st}' "
+                    "under the same config"
+                )
+        for st in ("clusters", "resolved"):
+            name = f"{st}_{suffix}" if suffix else st
+            if not self.store.completed(name, h):
+                raise ValueError(
+                    f"run_incremental needs a completed base stage "
+                    f"'{name}' under the same config"
+                )
+        from .lsh import band_hashes, candidate_edges_from_bands
+
+        old_sigs = self._base_union("signatures", prior)
+        old_extracted = self._base_union("extracted", prior)
+        old_clusters = self.store.read(f"clusters_{suffix}" if suffix else "clusters")
+        old_resolved = self.store.read(f"resolved_{suffix}" if suffix else "resolved")
+
+        pages = new_pages
+        if cfg.ingest_partitions:
+            pages = pages.repartition(cfg.ingest_partitions, F.xxhash64("url"))
+        ex_new = self._stage(f"extracted_{batch_id}", lambda: extract_stage(pages), resume)
+        self._metric(f"extracted_{batch_id}", "rows", self._rows(f"extracted_{batch_id}"))
+
+        fuse = cfg.fuse_cdc and cfg.enable_containment and cfg.substring_mode == "cdc"
+        fuse_win = cfg.fuse_winnow and cfg.enable_containment and cfg.substring_mode == "cdc"
+        sig_new = self._stage(
+            f"signatures_{batch_id}",
+            lambda: signature_stage(
+                ex_new,
+                shingle_n=cfg.shingle_n,
+                num_perm=cfg.num_perm,
+                seed=cfg.minhash_seed,
+                bands=cfg.bands,
+                rows=cfg.rows,
+                cdc=(cfg.cdc_divisor, cfg.cdc_min_chunk) if fuse else None,
+                winnow_chars=cfg.sa_min_match_chars if fuse_win else None,
+            ),
+            resume,
+        )
+        self._lineage_pass(sig_new, prefix=f"{batch_id}_")
+        self._metric(f"signatures_{batch_id}", "rows", self._rows(f"signatures_{batch_id}"))
+
+        def _cand() -> DataFrame:
+            bh_new = band_hashes(sig_new, cfg.bands, cfg.rows)
+            touched = bh_new.select("band_hash").distinct()
+            bh_old = band_hashes(old_sigs, cfg.bands, cfg.rows).join(
+                touched, "band_hash", "left_semi"
+            )
+            return candidate_edges_from_bands(bh_new.unionByName(bh_old))
+
+        candidates = self._stage(f"candidates_{batch_id}", _cand, resume)
+        self._metric(f"candidates_{batch_id}", "rows", self._rows(f"candidates_{batch_id}"))
+
+        def _verified() -> DataFrame:
+            ids = (
+                candidates.select(F.col("a").alias("doc_id"))
+                .union(candidates.select(F.col("b").alias("doc_id")))
+                .distinct()
+            )
+            cols = ["doc_id", "minhash", "simhash"]
+            sig_all = sig_new.select(*cols).unionByName(
+                old_sigs.select(*cols).join(ids, "doc_id", "left_semi")
+            )
+            ver = verify_edges(
+                candidates, sig_all, cfg.jaccard_threshold, cfg.max_hamming
+            ).select("a", "b")
+            if cfg.enable_containment and cfg.substring_mode == "cdc" and fuse:
+                ch_new = sig_new.select(
+                    "doc_id", F.explode("chunk_hashes").alias("chunk_hash")
+                )
+                ch_old = old_sigs.select(
+                    "doc_id", F.explode("chunk_hashes").alias("chunk_hash")
+                ).join(ch_new.select("chunk_hash").distinct(), "chunk_hash", "left_semi")
+                cand_sub = substring_candidates(
+                    None,
+                    cfg.cdc_divisor,
+                    cfg.cdc_min_chunk,
+                    chunks=ch_new.unionByName(ch_old),
+                )
+                ex_all = old_extracted.select("doc_id", "url", "text").unionByName(
+                    ex_new.select("doc_id", "url", "text")
+                )
+                win_tbl = (
+                    fused_winnow_table(sig_new, cfg.sa_min_match_chars).unionByName(
+                        fused_winnow_table(old_sigs, cfg.sa_min_match_chars)
+                    )
+                    if fuse_win
+                    else None
+                )
+                cont = sa_verify_pairs(
+                    cand_sub,
+                    ex_all,
+                    cfg.sa_min_match_chars,
+                    cfg.sa_max_group_chars,
+                    winnow_tbl=win_tbl,
+                )
+                ver = ver.union(cont).distinct()
+            return ver
+
+        verified = self._stage(f"verified_{batch_id}", _verified, resume)
+        self._metric(f"verified_{batch_id}", "rows", self._rows(f"verified_{batch_id}"))
+
+        def _clusters() -> DataFrame:
+            # contract old endpoints to their cluster ids; edges inside one
+            # old cluster become self-loops and drop out
+            a_map = old_clusters.select(
+                F.col("doc_id").alias("a"), F.col("cluster_id").alias("ca")
+            )
+            b_map = old_clusters.select(
+                F.col("doc_id").alias("b"), F.col("cluster_id").alias("cb")
+            )
+            contracted = (
+                verified.join(a_map, "a", "left")
+                .join(b_map, "b", "left")
+                .select(
+                    F.coalesce("ca", F.col("a")).alias("a"),
+                    F.coalesce("cb", F.col("b")).alias("b"),
+                )
+                .where(F.col("a") != F.col("b"))
+            )
+            comp = connected_components(contracted)
+            # relabel whole old clusters whose id was merged into a component
+            relabel = comp.select(
+                F.col("doc_id").alias("cluster_id"),
+                F.col("cluster_id").alias("cluster_id_new"),
+            )
+            old_updated = old_clusters.join(relabel, "cluster_id", "left").select(
+                "doc_id",
+                F.coalesce("cluster_id_new", "cluster_id").alias("cluster_id"),
+            )
+            # nodes not in the old mapping: new docs + formerly-unclustered
+            # old docs that an increment edge just pulled into a cluster
+            fresh = comp.join(old_clusters.select("doc_id"), "doc_id", "left_anti")
+            return old_updated.unionByName(fresh)
+
+        clusters = self._stage(f"clusters_{batch_id}", _clusters, resume)
+
+        def _resolved() -> DataFrame:
+            urls_all = old_extracted.select("doc_id", "url").unionByName(
+                ex_new.select("doc_id", "url")
+            )
+            # clusters whose membership or id changed vs the base mapping
+            touched = (
+                clusters.join(old_clusters, ["doc_id", "cluster_id"], "left_anti")
+                .select("cluster_id")
+                .distinct()
+            )
+            full_map = urls_all.join(clusters, "doc_id", "left").withColumn(
+                "cluster_id", F.coalesce("cluster_id", "doc_id")
+            )
+            touched_rows = full_map.join(touched, "cluster_id", "left_semi")
+            w = Window.partitionBy("cluster_id").orderBy("url")
+            recomputed = touched_rows.withColumn(
+                "is_representative", F.row_number().over(w) == F.lit(1)
+            )
+            carried = old_resolved.join(touched, "cluster_id", "left_anti").join(
+                touched_rows.select("doc_id"), "doc_id", "left_anti"
+            )
+            # new docs in no cluster: singletons, their own representative
+            singles = (
+                ex_new.select("doc_id", "url")
+                .join(clusters.select("doc_id"), "doc_id", "left_anti")
+                .withColumn("cluster_id", F.col("doc_id"))
+                .withColumn("is_representative", F.lit(True))
+            )
+            return carried.unionByName(recomputed).unionByName(singles)
+
+        resolved = self._stage(f"resolved_{batch_id}", _resolved, resume)
+        self._advance_base(batch_id)
+        # per-batch metrics file: the base run's lineage_metrics stays intact
+        metrics = self._flush_metrics(f"lineage_metrics_{batch_id}")
+        return {
+            "extracted": ex_new,
+            "signatures": sig_new,
+            "candidates": candidates,
+            "verified": verified,
+            "clusters": clusters,
+            "resolved": resolved,
+            "metrics": metrics,
+        }
+
+    def _base_for(self, batch_id: str) -> tuple[str, list[str]]:
+        """(base suffix, prior batch ids) for an increment. The manifest
+        records the ordered batch list; the base for ``batch_id`` is
+        everything BEFORE it — so resuming an already-recorded increment
+        reads the same base it originally ran against, never its own
+        output."""
+        batches = self.store.state().get("batches", [])
+        if batch_id in batches:
+            i = batches.index(batch_id)
+            prior = batches[:i]
+        else:
+            prior = batches
+        return (prior[-1] if prior else "", prior)
+
+    def _base_union(self, stage: str, prior: list[str]) -> DataFrame:
+        """Union of the base run's stage checkpoint with every prior
+        increment's — the per-doc tables (extracted, signatures) are
+        append-only across increments, so the cumulative view is a union of
+        immutable per-batch checkpoints (on Iceberg: one table appended to
+        per batch; no rewrite)."""
+        out = self.store.read(stage)
+        for bid in prior:
+            out = out.unionByName(self.store.read(f"{stage}_{bid}"))
+        return out
+
+    def _advance_base(self, batch_id: str) -> None:
+        batches = self.store.state().get("batches", [])
+        if batch_id not in batches:
+            batches = batches + [batch_id]
+        # base_suffix tracks the LATEST increment even when an older one is
+        # merely resumed — resuming b1 after b2 ran must not regress it
+        self.store.set_state(base_suffix=batches[-1], batches=batches)
+
 
 def dup_pair_recall(resolved: DataFrame, dup_truth: DataFrame) -> float:
     """Fraction of planted duplicate pairs whose two urls share a cluster —

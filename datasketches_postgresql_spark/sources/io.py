@@ -114,3 +114,16 @@ class CheckpointStore:
 
     def stage_info(self, name: str) -> dict | None:
         return self._read_manifest()["stages"].get(name)
+
+    # -- pipeline state (incremental-batch bookkeeping) ------------------------
+    def state(self) -> dict:
+        """Free-form pipeline state kept in the manifest (e.g. the ordered
+        incremental-batch list and the current cumulative-table suffix).
+        On Iceberg this would live in table properties / snapshot summary;
+        the manifest keeps identical semantics on the parquet fallback."""
+        return self._read_manifest().get("state", {})
+
+    def set_state(self, **kv) -> None:
+        m = self._read_manifest()
+        m.setdefault("state", {}).update(kv)
+        self._write_manifest(m)

@@ -9,6 +9,13 @@ Usage (cluster):
 Local sandbox equivalent:
     python jobs/run_dedup.py --generate 10000 --checkpoint /tmp/ckpt
 
+Incremental mode (dedup a NEW crawl batch against the accumulated corpus
+without re-processing it; equivalence to a full rerun is tested in
+tests/test_incremental.py):
+    spark-submit --py-files dsps.zip jobs/run_dedup.py \
+        --input /path/crawl_2026_08 --checkpoint /path/ckpt \
+        --incremental-batch 2026-08
+
 The input table must match BASELINE.json input_hint:
     (url string, warc_ts timestamp, html binary, text string, lang string)
 """
@@ -30,6 +37,10 @@ def main() -> None:
                     help="generate a synthetic corpus of N docs instead of --input")
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--incremental-batch", default=None, metavar="BATCH_ID",
+                    help="treat the input as a NEW batch appended to the "
+                         "corpus already checkpointed under --checkpoint; "
+                         "stages are suffixed with BATCH_ID")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shingle-n", type=int, default=9)
     ap.add_argument("--num-perm", type=int, default=128)
@@ -57,13 +68,21 @@ def main() -> None:
         jaccard_threshold=args.jaccard,
     )
     pipe = DedupPipeline(spark, args.checkpoint, cfg)
-    out = pipe.run(pages, resume=args.resume)
+    if args.incremental_batch:
+        out = pipe.run_incremental(
+            pages, batch_id=args.incremental_batch, resume=args.resume
+        )
+    else:
+        out = pipe.run(pages, resume=args.resume)
     summary = {
         "docs": out["resolved"].count(),
         "clusters": out["clusters"].select("cluster_id").distinct().count(),
         "checkpoint": args.checkpoint,
         "config_hash": cfg.config_hash(),
     }
+    if args.incremental_batch:
+        summary["batch"] = args.incremental_batch
+        summary["batches"] = pipe.store.state().get("batches", [])
     print(json.dumps(summary))
     spark.stop()
 

@@ -1,6 +1,6 @@
 """Local replica of the driver's correctness gate: run every queries() entry
-on Spark AND its oracle_sql() on DuckDB at sf0.01 (49 queries, 48 with
-exact oracles), compare row count, column names, and order-insensitive
+on Spark AND its oracle_sql() on DuckDB at sf0.01 (50 queries, every one
+with an oracle), compare row count, column names, and order-insensitive
 values. Usage: python tools/check_oracle.py [names...]
 """
 

@@ -149,3 +149,34 @@ class TestPlanQuality:
         plan = formatted_plan(q)
         assert has_broadcast_join(q), plan
         assert "SortMergeJoin" not in plan, plan
+
+    def test_incremental_band_scan_prunes_stored_columns(self, spark, tmp_path):
+        """Incremental-dedup contract (run_incremental._cand): the stored
+        signature table is touched ONLY through its three banding columns
+        (doc_id, sig_hash, band_hashes) behind a band_hash semi-join — the
+        scan must NOT read minhash/simhash/chunk/winnow/text-sized columns,
+        which is what keeps a crawl increment O(batch) + one pruned columnar
+        scan of the index instead of a corpus re-read."""
+        from datasketches_postgresql_spark.dedup.lsh import band_hashes
+        from datasketches_postgresql_spark.dedup.minhash import signature_stage
+
+        extracted = spark.createDataFrame(
+            [(i, f"u{i}", "en", f"doc text {i} " + "x" * 300, 310) for i in range(20)],
+            "doc_id long, url string, lang string, text string, n_chars long",
+        )
+        sig_path = str(tmp_path / "sigs")
+        signature_stage(extracted, cdc=(256, 64), winnow_chars=200).write.parquet(sig_path)
+        old_sigs = spark.read.parquet(sig_path)
+        new_sigs = signature_stage(
+            extracted.where("doc_id < 3").withColumn("doc_id", F.col("doc_id") + 1000)
+        )
+        touched = band_hashes(new_sigs).select("band_hash").distinct()
+        q = band_hashes(old_sigs).join(touched, "band_hash", "left_semi")
+        import re
+
+        from datasketches_postgresql_spark.plans.explain import read_schema
+
+        rs = read_schema(q)
+        assert rs, "no parquet scan in plan"
+        for col in ("minhash", "simhash", "chunk_hashes", "h", "hc", "shingle_theta"):
+            assert all(not re.search(rf"[<,]{col}:", s) for s in rs), (col, rs)

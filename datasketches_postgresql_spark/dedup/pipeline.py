@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, DoubleType, StructField
 
 from ..operators.agg import sketch_groupby_agg
+from ..textops.analysis import quality_score
 from ..sketches import kll as _kll
 from ..sketches import theta as _theta
 from ..plans.materialize import materialize
@@ -77,6 +78,14 @@ class DedupConfig:
     # of the corpus feeds both the near-dup and exact-substring layers);
     # False = standalone chunk_stage second scan (the pre-fusion shape)
     fuse_cdc: bool = True
+    # which cluster member survives as the training-set document:
+    #   "url"     — lexicographic minimum url (stable, cheapest);
+    #   "quality" — highest textops quality_score, url tie-break (keep the
+    #               best-written copy, the policy an LLM-data pipeline wants).
+    # Both are deterministic; quality adds one JVM-codegen expression over
+    # the already-checkpointed extracted table and 8 bytes/doc to the
+    # resolve window's shuffle — no extra text scan, no Python.
+    representative_policy: str = "url"
     # fuse the substring verifier's winnow fingerprints into the same pass
     # and store them on the signature row (~2 arrays/doc), so the verify
     # stage joins stored arrays instead of re-scanning corpus text. Right
@@ -96,6 +105,11 @@ class DedupPipeline:
     def __init__(self, spark: SparkSession, checkpoint_dir: str, config: DedupConfig | None = None):
         self.spark = spark
         self.config = config or DedupConfig()
+        if self.config.representative_policy not in ("url", "quality"):
+            raise ValueError(
+                f"representative_policy must be 'url' or 'quality', "
+                f"got {self.config.representative_policy!r}"
+            )
         self.store = CheckpointStore(spark, checkpoint_dir)
         self._metrics: list[dict] = []
         self.stage_seconds: dict[str, float] = {}
@@ -209,6 +223,22 @@ class DedupPipeline:
         info = self.store.stage_info(name)
         return int(info["rows"]) if info else 0
 
+    # -- representative selection ---------------------------------------------
+    def _rep_projection(self, extracted: DataFrame) -> DataFrame:
+        """(doc_id, url[, __q]) for representative ranking. The quality
+        policy scores text JVM-side here, so the resolve window never sees
+        the text column — only an extra double per doc."""
+        if self.config.representative_policy == "quality":
+            return extracted.select(
+                "doc_id", "url", quality_score(F.col("text")).alias("__q")
+            )
+        return extracted.select("doc_id", "url")
+
+    def _rep_window(self):
+        if self.config.representative_policy == "quality":
+            return Window.partitionBy("cluster_id").orderBy(F.desc("__q"), "url")
+        return Window.partitionBy("cluster_id").orderBy("url")
+
     # -- stage runner ----------------------------------------------------------
     def _stage(self, name: str, fn, resume: bool) -> DataFrame:
         import time as _time
@@ -310,13 +340,13 @@ class DedupPipeline:
             self._metric("clusters", "dup_rate", (docs_in_clusters - n_clusters) / total_docs)
 
         def _resolved() -> DataFrame:
-            joined = extracted.select("doc_id", "url").join(clusters, "doc_id", "left").withColumn(
-                "cluster_id", F.coalesce("cluster_id", "doc_id")
-            )
-            w = Window.partitionBy("cluster_id").orderBy("url")
+            joined = self._rep_projection(extracted).join(
+                clusters, "doc_id", "left"
+            ).withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
             return joined.withColumn(
-                "is_representative", F.row_number().over(w) == F.lit(1)
-            )
+                "is_representative",
+                F.row_number().over(self._rep_window()) == F.lit(1),
+            ).select("doc_id", "url", "cluster_id", "is_representative")
 
         resolved = self._stage("resolved", _resolved, resume)
         # a RECOMPUTED full run is the new base: prior increments no longer
@@ -521,8 +551,8 @@ class DedupPipeline:
         clusters = self._stage(f"clusters_{batch_id}", _clusters, resume)
 
         def _resolved() -> DataFrame:
-            urls_all = old_extracted.select("doc_id", "url").unionByName(
-                ex_new.select("doc_id", "url")
+            urls_all = self._rep_projection(old_extracted).unionByName(
+                self._rep_projection(ex_new)
             )
             # clusters whose membership or id changed vs the base mapping
             touched = (
@@ -534,10 +564,10 @@ class DedupPipeline:
                 "cluster_id", F.coalesce("cluster_id", "doc_id")
             )
             touched_rows = full_map.join(touched, "cluster_id", "left_semi")
-            w = Window.partitionBy("cluster_id").orderBy("url")
             recomputed = touched_rows.withColumn(
-                "is_representative", F.row_number().over(w) == F.lit(1)
-            )
+                "is_representative",
+                F.row_number().over(self._rep_window()) == F.lit(1),
+            ).select("doc_id", "url", "cluster_id", "is_representative")
             carried = old_resolved.join(touched, "cluster_id", "left_anti").join(
                 touched_rows.select("doc_id"), "doc_id", "left_anti"
             )

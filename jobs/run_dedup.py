@@ -47,6 +47,9 @@ def main() -> None:
     ap.add_argument("--bands", type=int, default=32)
     ap.add_argument("--rows", type=int, default=4)
     ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--representative", default="url", choices=("url", "quality"),
+                    help="which cluster member survives: lexicographic-min "
+                         "url (default) or highest quality_score")
     args = ap.parse_args()
 
     from datasketches_postgresql_spark.dedup.pipeline import DedupConfig, DedupPipeline
@@ -66,6 +69,7 @@ def main() -> None:
         bands=args.bands,
         rows=args.rows,
         jaccard_threshold=args.jaccard,
+        representative_policy=args.representative,
     )
     pipe = DedupPipeline(spark, args.checkpoint, cfg)
     if args.incremental_batch:

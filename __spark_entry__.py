@@ -31,6 +31,7 @@ from datasketches_postgresql_spark.functions import req as REQ
 from datasketches_postgresql_spark.functions import theta as TH
 from datasketches_postgresql_spark.textops import analysis as TA
 from datasketches_postgresql_spark.textops import ann as ANN
+from datasketches_postgresql_spark.textops import decontaminate as TD
 from datasketches_postgresql_spark.textops import dedupe as DD
 
 _COPY_OFFSET = 100000
@@ -266,22 +267,30 @@ def q_quantiles_wire_roundtrip(spark, sf_dir):
     )
 
 
-def q_kll_quantiles(spark, sf_dir):
-    """kll_sketch_get_quantiles (multi-rank) — sql/..kll..:141-143."""
-    sk = KLL.kll_double_sketch_build(_ev(spark, sf_dir), ["event_type"], "value", k=_KLL_EXACT_K)
+def q_kll_quantiles_histogram(spark, sf_dir):
+    """kll_sketch_get_quantiles (multi-rank, sql/..kll..:141-143) +
+    kll_sketch_get_histogram (equal-width bins, masses scaled to counts,
+    src/kll_float_sketch_pg_functions.c:425-470; splits :452-458,
+    scale=true :459) in one gate (merged round-3 kll_quantiles +
+    kll_histogram to free a driver slot). Exact regime for both. Rows are
+    tagged (item, v): 'q:<event_type>:<ri>' quantile rows, 'h:<bin>'
+    histogram rows."""
+    ev = _ev(spark, sf_dir)
+    skq = KLL.kll_double_sketch_build(ev, ["event_type"], "value", k=_KLL_EXACT_K)
     qs = KLL.kll_sketch_get_quantiles(F.col("sketch"), [0.25, 0.5, 0.75])
-    return sk.select("event_type", F.posexplode(qs).alias("ri", "q"))
-
-
-def q_kll_histogram(spark, sf_dir):
-    """kll_sketch_get_histogram — equal-width bins over [min,max], masses
-    scaled to counts (src/kll_float_sketch_pg_functions.c:425-470; splits
-    :452-458, scale=true :459). Exact regime -> counts are exact."""
-    sk = KLL.kll_double_sketch_build(_ev(spark, sf_dir), [], "value", k=_KLL_EXACT_K)
-    h = KLL.kll_sketch_get_histogram(F.col("sketch"), 4)
-    return sk.select(F.posexplode(h).alias("bin", "cnt")).select(
-        "bin", F.round("cnt", 3).alias("cnt")
+    quant = skq.select("event_type", F.posexplode(qs).alias("ri", "q")).select(
+        F.concat_ws(
+            ":", F.lit("q"), F.col("event_type"), F.col("ri").cast("string")
+        ).alias("item"),
+        F.col("q").alias("v"),
     )
+    skh = KLL.kll_double_sketch_build(ev, [], "value", k=_KLL_EXACT_K)
+    h = KLL.kll_sketch_get_histogram(F.col("sketch"), 4)
+    hist = skh.select(F.posexplode(h).alias("bin", "cnt")).select(
+        F.concat_ws(":", F.lit("h"), F.col("bin").cast("string")).alias("item"),
+        F.round("cnt", 3).alias("v"),
+    )
+    return quant.unionByName(hist).orderBy("item")
 
 
 def q_theta_intersection_reaggregate(spark, sf_dir):
@@ -775,6 +784,21 @@ def q_text_langid(spark, sf_dir):
     return d.select("doc_id", TA.lang_id(F.col("text")).alias("lang_pred"))
 
 
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/Pile-style word-n-gram overlap):
+    every 11th document plays the eval set; the rest are the training
+    corpus. The bench gram table broadcasts (plan-asserted in pytest), so
+    the corpus side never shuffles — the 100 TB shape. Exact contract, so
+    the DuckDB oracle is the same inverted-index join on gram STRINGS
+    (hash-collision-free at this scale)."""
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    train = d.where(F.col("doc_id") % 11 != 0)
+    return TD.decontaminate(train, bench, n=8).orderBy("doc_id")
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Min-shingle winnowing fingerprint, as a hash-checkable gate: the
     fingerprint VALUE is not SQL-expressible (rolling hash), so the gate
@@ -939,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "text_tokens_quality": q_text_tokens_quality,
+        "text_decontaminate": q_text_decontaminate,
         # -- sketch families ---------------------------------------------------
         "theta_distinct_users_by_type": q_theta_distinct_users_by_type,
         "theta_union_reaggregate": q_theta_union_reaggregate,
@@ -955,8 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_median_minmax_n": q_kll_median_minmax_n,
         "kll_pmf_cdf": q_kll_pmf_cdf,
         "kll_merge_median": q_kll_merge_median,
-        "kll_quantiles": q_kll_quantiles,
-        "kll_histogram": q_kll_histogram,
+        "kll_quantiles_histogram": q_kll_quantiles_histogram,
         "kll_wire_roundtrip": q_kll_wire_roundtrip,
         "req_rank_inclusive": q_req_rank_inclusive,
         "req_tail_accuracy": q_req_tail_accuracy,
@@ -1088,30 +1112,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(value) AS med, (SELECT count(*) FROM events) AS n
             FROM r WHERE rn > n * 0.5
         """,
-        "kll_quantiles": """
+        "kll_quantiles_histogram": """
             WITH r AS (
               SELECT event_type, value,
                      row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
                      count(*) OVER (PARTITION BY event_type) AS n
               FROM events),
-            q AS (SELECT * FROM (VALUES (0, 0.25), (1, 0.5), (2, 0.75)) AS t(ri, frac))
-            SELECT r.event_type, q.ri, min(r.value) AS q
-            FROM r JOIN q ON r.rn > r.n * q.frac
-            GROUP BY r.event_type, q.ri ORDER BY r.event_type, q.ri
-        """,
-        "kll_histogram": """
+            q AS (SELECT * FROM (VALUES (0, 0.25), (1, 0.5), (2, 0.75)) AS t(ri, frac)),
+            quant AS (
+              SELECT 'q:' || r.event_type || ':' || q.ri AS item, min(r.value) AS v
+              FROM r JOIN q ON r.rn > r.n * q.frac
+              GROUP BY r.event_type, q.ri),
             -- equal-width 4-bin histogram with left-open/right-closed bins
             -- after the first, matching the kernel's inclusive-rank pmf
-            WITH st AS (SELECT min(value) AS mn, max(value) AS mx,
-                               (max(value) - min(value)) / 4 AS step FROM events),
+            st AS (SELECT min(value) AS mn, max(value) AS mx,
+                          (max(value) - min(value)) / 4 AS step FROM events),
             binned AS (
               SELECT CASE WHEN value <= mn + step * 1 THEN 0
                           WHEN value <= mn + step * 2 THEN 1
                           WHEN value <= mn + step * 3 THEN 2
                           ELSE 3 END AS bin
-              FROM events, st)
-            SELECT bin, round(CAST(count(*) AS DOUBLE), 3) AS cnt
-            FROM binned GROUP BY bin ORDER BY bin
+              FROM events, st),
+            hist AS (
+              SELECT 'h:' || bin AS item, round(CAST(count(*) AS DOUBLE), 3) AS v
+              FROM binned GROUP BY bin)
+            SELECT item, v FROM quant
+            UNION ALL SELECT item, v FROM hist
+            ORDER BY item
+        """,
+        "text_decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+              FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) _),
+            bench AS (
+              SELECT DISTINCT doc_id AS bench_id, g FROM grams WHERE doc_id % 11 = 0),
+            train AS (SELECT doc_id, g FROM grams WHERE doc_id % 11 <> 0)
+            SELECT train.doc_id AS doc_id,
+                   count(DISTINCT bench.bench_id) AS bench_docs_hit,
+                   count(DISTINCT train.g) AS grams_hit
+            FROM train JOIN bench USING (g)
+            GROUP BY train.doc_id ORDER BY doc_id
         """,
         "theta_intersection_reaggregate": """
             SELECT count(*) AS n_all_types FROM (

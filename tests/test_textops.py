@@ -331,3 +331,75 @@ class TestStreamingLshCandidates:
             "select count(distinct a, b) as c from lsh_ring_test"
         ).collect()[0]["c"]
         assert n_pairs >= 11  # every doc still linked into the cluster
+
+
+class TestDecontaminate:
+    def _mini(self, spark):
+        mk = lambda i, t: (i, t)  # noqa: E731
+        train = spark.createDataFrame(
+            [
+                mk(1, "alpha beta gamma delta epsilon zeta"),   # contains bench 10's 4-gram
+                mk(2, "one two three four five six seven"),     # clean
+                mk(3, "beta gamma delta epsilon nine ten"),     # same 4-gram window
+                mk(4, "alpha beta gamma"),                      # short doc, whole == nothing in bench
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [
+                mk(10, "zero beta gamma delta epsilon hundred"),
+                mk(11, "completely different benchmark words here"),
+            ],
+            "bench_id long, text string",
+        )
+        return train, bench
+
+    def test_overlap_detection(self, spark):
+        from datasketches_postgresql_spark.textops.decontaminate import decontaminate
+
+        train, bench = self._mini(spark)
+        out = decontaminate(train, bench, n=4)
+        got = {r["doc_id"]: (r["bench_docs_hit"], r["grams_hit"]) for r in out.collect()}
+        # docs 1 and 3 share the 4-gram "beta gamma delta epsilon" with bench 10
+        assert got == {1: (1, 1), 3: (1, 1)}
+
+    def test_short_doc_verbatim_copy_caught(self, spark):
+        from datasketches_postgresql_spark.textops.decontaminate import decontaminate
+
+        train = spark.createDataFrame(
+            [(1, "tiny bench prompt"), (2, "some other words")],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(10, "tiny bench prompt")], "bench_id long, text string"
+        )
+        out = decontaminate(train, bench, n=13)
+        assert [r["doc_id"] for r in out.collect()] == [1]
+
+    def test_benchmark_side_broadcasts(self, spark, docs):
+        from datasketches_postgresql_spark.textops.decontaminate import decontaminate
+
+        bench = docs.where(F.col("doc_id") % 11 == 0).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        )
+        train = docs.where(F.col("doc_id") % 11 != 0)
+        out = decontaminate(train, bench, n=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        # contaminated set is exactly what a string-equality join computes
+        from datasketches_postgresql_spark.textops.dedupe import word_ngrams
+
+        tg = train.select("doc_id", F.explode(F.array_distinct(word_ngrams(F.col("text"), 8))).alias("g"))
+        bg = bench.select("bench_id", F.explode(F.array_distinct(word_ngrams(F.col("text"), 8))).alias("g")).distinct()
+        expect = (
+            tg.join(bg, "g")
+            .groupBy("doc_id")
+            .agg(
+                F.countDistinct("bench_id").alias("bench_docs_hit"),
+                F.countDistinct("g").alias("grams_hit"),
+            )
+        )
+        got = {(r["doc_id"], r["bench_docs_hit"], r["grams_hit"]) for r in out.collect()}
+        want = {(r["doc_id"], r["bench_docs_hit"], r["grams_hit"]) for r in expect.collect()}
+        assert got == want and len(want) > 0

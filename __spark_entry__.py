@@ -32,6 +32,7 @@ from datasketches_postgresql_spark.functions import theta as TH
 from datasketches_postgresql_spark.textops import analysis as TA
 from datasketches_postgresql_spark.textops import ann as ANN
 from datasketches_postgresql_spark.textops import decontaminate as TD
+from datasketches_postgresql_spark.textops import urlops as UO
 from datasketches_postgresql_spark.textops import dedupe as DD
 
 _COPY_OFFSET = 100000
@@ -100,15 +101,30 @@ def q_theta_set_ops(spark, sf_dir):
     )
 
 
-def q_theta_bounds_exact(spark, sf_dir):
-    sk = TH.theta_sketch_build(_ev(spark, sf_dir), ["event_type"], "user_id")
-    b = TH.theta_sketch_get_estimate_and_bounds(F.col("sketch"), 2)
-    return sk.select(
-        "event_type",
-        b.getItem(0).cast("bigint").alias("est"),
-        b.getItem(1).cast("bigint").alias("lb"),
-        b.getItem(2).cast("bigint").alias("ub"),
+def q_sketch_bounds_exact(spark, sf_dir):
+    """theta_sketch_get_estimate_and_bounds (sql/..theta..:141-147) +
+    hll_sketch_get_estimate_and_bounds (sql/..hll..:165-171) in one gate
+    (merged round-3 theta_bounds_exact + hll_bounds_exact to free a driver
+    slot). Exact regime for both, so bounds collapse to the estimate
+    (HLL LIST/SET-mode images are exact). Rows tagged 'th:<event_type>' /
+    'hll:<source>'."""
+    skt = TH.theta_sketch_build(_ev(spark, sf_dir), ["event_type"], "user_id")
+    bt = TH.theta_sketch_get_estimate_and_bounds(F.col("sketch"), 2)
+    theta = skt.select(
+        F.concat_ws(":", F.lit("th"), F.col("event_type")).alias("item"),
+        bt.getItem(0).cast("bigint").alias("est"),
+        bt.getItem(1).cast("bigint").alias("lb"),
+        bt.getItem(2).cast("bigint").alias("ub"),
     )
+    skh = HLL.hll_sketch_build(_docs(spark, sf_dir), ["source"], "lang")
+    bh = HLL.hll_sketch_get_estimate_and_bounds(F.col("sketch"), 2)
+    hll = skh.select(
+        F.concat_ws(":", F.lit("hll"), F.col("source")).alias("item"),
+        bh.getItem(0).cast("bigint").alias("est"),
+        bh.getItem(1).cast("bigint").alias("lb"),
+        bh.getItem(2).cast("bigint").alias("ub"),
+    )
+    return theta.unionByName(hll).orderBy("item")
 
 
 # --------------------------------------------------------------------------
@@ -239,22 +255,15 @@ def q_req_rank_inclusive(spark, sf_dir):
     )
 
 
-def q_quantiles_double_q25(spark, sf_dir):
-    sk = QD.quantiles_double_sketch_build(_ev(spark, sf_dir), ["event_type"], "value", k=_KLL_EXACT_K)
-    return sk.select(
-        "event_type",
-        QD.quantiles_double_sketch_get_n(F.col("sketch")).alias("n"),
-        QD.quantiles_double_sketch_get_quantile(F.col("sketch"), 0.25).alias("q25"),
-    )
-
-
-def q_quantiles_wire_roundtrip(spark, sf_dir):
-    """Classic quantiles (DoublesSketch) canonical-wire gate: the stored
-    sketch column IS the standard DataSketches image (serVer 3, family 8 —
-    what the reference's quantiles_double_sketch bytea holds via
+def q_quantiles_double_family(spark, sf_dir):
+    """Classic quantiles (DoublesSketch) family gate: q25 + canonical-wire
+    check in one (merged round-3 quantiles_double_q25 +
+    quantiles_wire_roundtrip to free a driver slot). The stored sketch
+    column IS the standard DataSketches image (serVer 3, family 8 — what
+    the reference's quantiles_double_sketch bytea holds via
     src/quantiles_double_sketch_c_adapter.cpp), so legacy sketch data
-    imports directly. Gate pins the preamble bytes AND queries n + median
-    through the image in the exact regime (n per group <= 2k)."""
+    imports directly. Gate pins the preamble bytes AND queries n + q25 +
+    median through the image in the exact regime (n per group <= 2k)."""
     sk = QD.quantiles_double_sketch_build(
         _ev(spark, sf_dir), ["event_type"], "value", k=_KLL_EXACT_K
     )
@@ -263,6 +272,7 @@ def q_quantiles_wire_roundtrip(spark, sf_dir):
         F.conv(F.hex(F.substring("sketch", 2, 1)), 16, 10).cast("int").alias("ser_ver"),
         F.conv(F.hex(F.substring("sketch", 3, 1)), 16, 10).cast("int").alias("family"),
         QD.quantiles_double_sketch_get_n(F.col("sketch")).alias("n"),
+        QD.quantiles_double_sketch_get_quantile(F.col("sketch"), 0.25).alias("q25"),
         QD.quantiles_double_sketch_get_quantile(F.col("sketch"), 0.5).alias("median"),
     )
 
@@ -410,19 +420,6 @@ def q_req_tail_accuracy(spark, sf_dir):
         .cast("int")
         .alias("tail_within_10pct"),
         "n",
-    )
-
-
-def q_hll_bounds_exact(spark, sf_dir):
-    """hll_sketch_get_estimate_and_bounds (sql:165-171); LIST/SET-mode images
-    are exact so bounds collapse to the estimate."""
-    sk = HLL.hll_sketch_build(_docs(spark, sf_dir), ["source"], "lang")
-    b = HLL.hll_sketch_get_estimate_and_bounds(F.col("sketch"), 2)
-    return sk.select(
-        "source",
-        b.getItem(0).cast("bigint").alias("est"),
-        b.getItem(1).cast("bigint").alias("lb"),
-        b.getItem(2).cast("bigint").alias("ub"),
     )
 
 
@@ -799,6 +796,55 @@ def q_text_decontaminate(spark, sf_dir):
     return TD.decontaminate(train, bench, n=8).orderBy("doc_id")
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filter signals (dup-word / top-2-gram /
+    dup-5-gram fractions) — the repetition-removal pass a training-data
+    pipeline runs beside quality scoring. Pure projection (zero shuffle,
+    plan-asserted in pytest); the oracle recomputes each fold relationally."""
+    d = _docs(spark, sf_dir)
+    return TA.repetition_signals(d).select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        "dup_word_frac",
+        "top_2gram_frac",
+        "dup_5gram_frac",
+    ).orderBy("doc_id")
+
+
+def q_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + URL-level dedup (textops/urlops.py): the
+    cheapest dedup tier for a web crawl. The documents table has no url
+    column, so the gate synthesizes messy-but-deterministic URLs (case,
+    www., default ports, trailing slashes, tracking params, fragments) from
+    (doc_id, source) identically in Spark and the oracle, canonicalizes,
+    and groups — the oracle re-derives the canonical form with the same
+    regex rules in DuckDB SQL, so every rule is value-checked."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("Http"),
+        F.when(did % 2 == 0, F.lit("s")).otherwise(F.lit("")),
+        F.lit("://"),
+        F.when(did % 4 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.com"),
+        F.when(did % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        F.lit("/p/"),
+        (did % 40).cast("string"),
+        F.when(did % 5 == 0, F.lit("/"))
+        .when(did % 5 == 1, F.lit("?utm_source=x&b=2&a=1"))
+        .when(did % 5 == 2, F.lit("?b=2&a=1#frag"))
+        .when(did % 5 == 3, F.lit("#frag"))
+        .otherwise(F.lit("")),
+    )
+    return (
+        d.select(did.alias("doc_id"), UO.canonical_url(url).alias("curl"))
+        .groupBy("curl")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper_doc_id"))
+        .orderBy("curl")
+    )
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Min-shingle winnowing fingerprint, as a hash-checkable gate: the
     fingerprint VALUE is not SQL-expressible (rolling hash), so the gate
@@ -963,17 +1009,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "text_tokens_quality": q_text_tokens_quality,
+        "text_repetition": q_text_repetition,
         "text_decontaminate": q_text_decontaminate,
+        "url_canonical_dedup": q_url_canonical_dedup,
         # -- sketch families ---------------------------------------------------
         "theta_distinct_users_by_type": q_theta_distinct_users_by_type,
         "theta_union_reaggregate": q_theta_union_reaggregate,
         "theta_intersection_reaggregate": q_theta_intersection_reaggregate,
         "theta_set_ops": q_theta_set_ops,
-        "theta_bounds_exact": q_theta_bounds_exact,
+        "sketch_bounds_exact": q_sketch_bounds_exact,
         "theta_wire_roundtrip": q_theta_wire_roundtrip,
         "hll_distinct_langs_by_source": q_hll_distinct_langs_by_source,
         "hll_union_reaggregate": q_hll_union_reaggregate,
-        "hll_bounds_exact": q_hll_bounds_exact,
         "hll_tgt4_distinct": q_hll_tgt4_distinct,
         "cpc_distinct_users": q_cpc_distinct_users,
         "kll_rank_float_med": q_kll_rank_float_med,
@@ -985,8 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "req_rank_inclusive": q_req_rank_inclusive,
         "req_tail_accuracy": q_req_tail_accuracy,
         "req_wire_roundtrip": q_req_wire_roundtrip,
-        "quantiles_double_q25": q_quantiles_double_q25,
-        "quantiles_wire_roundtrip": q_quantiles_wire_roundtrip,
+        "quantiles_double_family": q_quantiles_double_family,
         "fi_heavy_event_types": q_fi_heavy_event_types,
         "fi_weighted_sources": q_fi_weighted_sources,
         "fi_merge": q_fi_merge,
@@ -1024,12 +1070,19 @@ def oracle_sql() -> dict[str, str]:
               (SELECT count(*) FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM s)) AS n_click_only,
               (SELECT count(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM s)) AS n_either
         """,
-        "theta_bounds_exact": """
-            SELECT event_type,
+        "sketch_bounds_exact": """
+            SELECT 'th:' || event_type AS item,
                    count(DISTINCT user_id) AS est,
                    count(DISTINCT user_id) AS lb,
                    count(DISTINCT user_id) AS ub
-            FROM events GROUP BY event_type ORDER BY event_type
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 'hll:' || source AS item,
+                   count(DISTINCT lang) AS est,
+                   count(DISTINCT lang) AS lb,
+                   count(DISTINCT lang) AS ub
+            FROM documents GROUP BY source
+            ORDER BY item
         """,
         "hll_distinct_langs_by_source": """
             SELECT source, count(DISTINCT lang) AS n_langs
@@ -1191,12 +1244,34 @@ def oracle_sql() -> dict[str, str]:
             ) AS fi_summary
             FROM events
         """,
-        "hll_bounds_exact": """
-            SELECT source,
-                   count(DISTINCT lang) AS est,
-                   count(DISTINCT lang) AS lb,
-                   count(DISTINCT lang) AS ub
-            FROM documents GROUP BY source ORDER BY source
+        "text_repetition": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents),
+            base AS (
+              SELECT doc_id, len(t) AS n_words,
+                     round(CAST(len(t) - len(list_distinct(t)) AS DOUBLE)
+                           / greatest(len(t), 1), 6) AS dup_word_frac
+              FROM toks),
+            g2 AS (
+              SELECT doc_id, g, count(*) AS c FROM (
+                SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+                FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) _)
+              GROUP BY doc_id, g),
+            top2 AS (SELECT doc_id, max(c) AS m FROM g2 GROUP BY doc_id),
+            g5 AS (
+              SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist FROM (
+                SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+                FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) _)
+              GROUP BY doc_id)
+            SELECT base.doc_id AS doc_id, base.n_words AS n_words,
+                   base.dup_word_frac AS dup_word_frac,
+                   round(CAST(coalesce(top2.m, 0) * 2 AS DOUBLE)
+                         / greatest(base.n_words, 1), 6) AS top_2gram_frac,
+                   round(CAST(coalesce(g5.total - g5.dist, 0) AS DOUBLE)
+                         / greatest(coalesce(g5.total, 0), 1), 6) AS dup_5gram_frac
+            FROM base LEFT JOIN top2 USING (doc_id) LEFT JOIN g5 USING (doc_id)
+            ORDER BY doc_id
         """,
         "aod_pair_setops": """
             WITH c AS (SELECT user_id, sum(value) AS s FROM events
@@ -1215,24 +1290,60 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS rank_100_incl
             FROM events GROUP BY event_type ORDER BY event_type
         """,
-        "quantiles_double_q25": """
-            WITH r AS (
-              SELECT event_type, value,
-                     row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
-                     count(*) OVER (PARTITION BY event_type) AS n
-              FROM events)
-            SELECT event_type, max(n) AS n, min(value) AS q25 FROM r
-            WHERE rn > n * 0.25 GROUP BY event_type ORDER BY event_type
-        """,
-        "quantiles_wire_roundtrip": """
+        "quantiles_double_family": """
             WITH r AS (
               SELECT event_type, value,
                      row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
                      count(*) OVER (PARTITION BY event_type) AS n
               FROM events)
             SELECT event_type, 3 AS ser_ver, 8 AS family, max(n) AS n,
-                   min(value) AS median
-            FROM r WHERE rn > n * 0.5 GROUP BY event_type ORDER BY event_type
+                   (SELECT min(value) FROM r r2
+                    WHERE r2.event_type = r.event_type AND r2.rn > r2.n * 0.25) AS q25,
+                   (SELECT min(value) FROM r r2
+                    WHERE r2.event_type = r.event_type AND r2.rn > r2.n * 0.5) AS median
+            FROM r GROUP BY event_type ORDER BY event_type
+        """,
+        "url_canonical_dedup": """
+            WITH raw AS (
+              SELECT doc_id,
+                     'Http' || CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END || '://' ||
+                     CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END ||
+                     source || '.Example.com' ||
+                     CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END ||
+                     '/p/' || CAST(doc_id % 40 AS VARCHAR) ||
+                     CASE doc_id % 5 WHEN 0 THEN '/'
+                          WHEN 1 THEN '?utm_source=x&b=2&a=1'
+                          WHEN 2 THEN '?b=2&a=1#frag'
+                          WHEN 3 THEN '#frag' ELSE '' END AS url
+              FROM documents),
+            pre AS (
+              SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM raw),
+            comp AS (
+              SELECT doc_id,
+                     lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                     lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                     regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                     regexp_extract(u, '\\?([^#]*)', 1) AS query
+              FROM pre),
+            norm AS (
+              SELECT doc_id, scheme,
+                     CASE WHEN scheme = 'http'
+                          THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+                          WHEN scheme = 'https'
+                          THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '')
+                          ELSE regexp_replace(hostport, '^www\\.', '') END AS host,
+                     regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'), '/$', '') AS p,
+                     list_sort(list_filter(string_split(query, '&'),
+                       x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=|$)'))) AS kept
+              FROM comp),
+            curls AS (
+              SELECT doc_id,
+                     scheme || '://' || host || p ||
+                     CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+                          ELSE '' END AS curl
+              FROM norm)
+            SELECT curl, count(*) AS n_dups, min(doc_id) AS keeper_doc_id
+            FROM curls GROUP BY curl ORDER BY curl
         """,
         "fi_wire_roundtrip": """
             SELECT 10 AS family, event_type AS str,

@@ -5,6 +5,9 @@ linearly with input splits).
 - token_count      whitespace tokenization
 - quality metrics  punctuation ratio / mean word length / stopword ratio
 - language-ID      marker-stopword argmax heuristic over {en,de,fr,es}
+- repetition       Gopher-style word-level repetition signals (dup-word /
+                   top-2-gram / dup-n-gram fractions) — zero shuffle: every
+                   signal folds over the row's own token array
 - fingerprint      min-shingle rolling-hash document fingerprint (winnowing
                    style; pandas UDF — the one Python kernel here)
 """
@@ -83,6 +86,74 @@ def lang_id(text: Column) -> Column:
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
         best = F.when(cond, scores[lang]).otherwise(best)
     return expr
+
+
+def _strict_word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams with NO short-doc fallback: a doc with < n tokens yields
+    an empty array (unlike dedupe.word_ngrams, whose whole-text gram exists
+    so verbatim short-doc copies still collide — here a partial window would
+    fabricate repetition that isn't there)."""
+    toks = tokens(text)
+    gram = lambda i: F.array_join(F.slice(toks, i + 1, n), " ")  # noqa: E731
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n), gram)
+    )
+
+
+def dup_word_frac(text: Column) -> Column:
+    """Fraction of word occurrences that repeat an earlier word
+    (1 - distinct/total; the MassiveText duplicate-line-fraction rule at
+    word granularity, since this corpus has no line structure)."""
+    toks = tokens(text)
+    return (F.size(toks) - F.size(F.array_distinct(toks))) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+
+
+def top_ngram_frac(text: Column, n: int = 2) -> Column:
+    """Fraction of words covered by the single most frequent word n-gram
+    (count * n / n_words, the Gopher top-n-gram character-fraction rule at
+    word granularity). The mode count is the longest equal-run in the SORTED
+    gram array — a pure fold, no shuffle, no UDF."""
+    grams = F.array_sort(_strict_word_ngrams(text, n))
+    run = F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("cur"), F.lit(0).alias("best")
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )["best"]
+    return run * n / F.greatest(F.size(tokens(text)), F.lit(1))
+
+
+def dup_ngram_frac(text: Column, n: int = 5) -> Column:
+    """Fraction of word n-gram occurrences that are repeats of an
+    already-seen n-gram (Gopher duplicate-n-gram rule, n in 5..10)."""
+    grams = _strict_word_ngrams(text, n)
+    return (F.size(grams) - F.size(F.array_distinct(grams))) / F.greatest(
+        F.size(grams), F.lit(1)
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc repetition filter signals. All four columns are folds over the
+    row itself — the plan is a projection (zero shuffle, whole-stage codegen),
+    so the operator scans 100 TB at parquet-read speed."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_words"),
+        F.round(dup_word_frac(t), 6).alias("dup_word_frac"),
+        F.round(top_ngram_frac(t, 2), 6).alias("top_2gram_frac"),
+        F.round(dup_ngram_frac(t, 5), 6).alias("dup_5gram_frac"),
+    )
 
 
 @F.pandas_udf(LongType())

@@ -1,0 +1,87 @@
+"""URL canonicalization + URL-level dedup for web crawls.
+
+A Common-Crawl-style corpus sees the same page under many spellings —
+scheme/host case, default ports, `www.`, trailing slashes, tracking query
+params, fragments — and under many fetches (recrawls). Canonicalizing the
+URL collapses both BEFORE any text stage runs, which at 10^12 docs is the
+cheapest dedup tier of all: a projection plus one hash-keyed groupBy.
+
+Reference analogue: the reference dedups set-valued columns with theta
+set algebra (/root/reference/sql/datasketches_theta_sketch.sql:85-93);
+URL identity is this pipeline's exact-key counterpart for whole rows.
+
+Canonical form (fixed, documented rules — every one expressible in both
+Spark and ANSI-ish SQL so the driver oracle replays them exactly):
+
+1. strip the fragment (``#...``);
+2. lowercase scheme and host;
+3. drop a leading ``www.`` host label;
+4. drop default ports (``:80`` for http, ``:443`` for https);
+5. collapse duplicate ``/`` in the path and drop a trailing ``/``
+   (so ``/a/`` == ``/a`` and the bare root path == empty);
+6. drop tracking query params (``utm_*``, ``gclid``, ``fbclid``,
+   ``msclkid``, ``ref``), sort the survivors bytewise, rejoin with ``&``
+   (empty query disappears entirely).
+
+Everything is built-in expressions — whole-stage codegen, zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# one regex, shared with the oracle SQL: params whose NAME marks them as
+# click-tracking noise
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=|$)"
+
+
+def canonical_url(url: Column) -> Column:
+    u = F.regexp_replace(F.trim(url), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(
+        (scheme == "http"), F.regexp_replace(host, r":80$", "")
+    ).otherwise(
+        F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host)
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(F.regexp_replace(path, r"/{2,}", "/"), r"/$", "")
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qpart = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qpart)
+
+
+def dedup_by_url(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Keep ONE row per canonical URL: the freshest fetch when ``ts_col``
+    is given (recrawl collapse — latest ``warc_ts`` wins, raw url as the
+    deterministic tie-break), else the lexicographically-smallest raw url.
+
+    One hash-keyed window over xxhash64-sized keys; the canonical string
+    itself never shuffles (only its 8-byte hash does), so at crawl scale
+    the exchange carries id-width rows.
+    """
+    cu = canonical_url(F.col(url_col))
+    keyed = df.withColumn("__ckey", F.xxhash64(cu))
+    order = (
+        [F.desc(ts_col), F.asc(url_col)] if ts_col is not None else [F.asc(url_col)]
+    )
+    w = Window.partitionBy("__ckey").orderBy(*order)
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__ckey")
+    )

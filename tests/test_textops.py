@@ -403,3 +403,111 @@ class TestDecontaminate:
         got = {(r["doc_id"], r["bench_docs_hit"], r["grams_hit"]) for r in out.collect()}
         want = {(r["doc_id"], r["bench_docs_hit"], r["grams_hit"]) for r in expect.collect()}
         assert got == want and len(want) > 0
+
+
+class TestRepetitionSignals:
+    def test_matches_python_reference(self, spark):
+        from collections import Counter
+
+        from datasketches_postgresql_spark.textops.analysis import repetition_signals
+
+        texts = [
+            (1, "a b c a b c a b c"),            # heavy 3-cycle repetition
+            (2, "one two three four five six"),  # all distinct
+            (3, "spam spam spam spam spam"),     # single repeated word
+            (4, "x y"),                          # shorter than the 5-gram window
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in repetition_signals(
+                spark.createDataFrame(texts, "doc_id long, text string")
+            ).collect()
+        }
+        for doc_id, text in texts:
+            w = text.split()
+            dup_w = round((len(w) - len(set(w))) / len(w), 6)
+            g2 = Counter(" ".join(w[i : i + 2]) for i in range(len(w) - 1))
+            top2 = round(max(g2.values(), default=0) * 2 / len(w), 6)
+            g5 = [" ".join(w[i : i + 5]) for i in range(len(w) - 4)]
+            dup5 = round((len(g5) - len(set(g5))) / max(len(g5), 1), 6)
+            r = out[doc_id]
+            assert r["n_words"] == len(w)
+            assert r["dup_word_frac"] == dup_w, (doc_id, r)
+            assert r["top_2gram_frac"] == top2, (doc_id, r)
+            assert r["dup_5gram_frac"] == dup5, (doc_id, r)
+
+    def test_zero_shuffle_projection(self, spark, docs):
+        from datasketches_postgresql_spark.textops.analysis import repetition_signals
+
+        plan = (
+            repetition_signals(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
+
+
+class TestUrlOps:
+    CASES = [
+        # (raw, canonical)
+        ("HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+         "https://example.com/a/b?a=1&b=2"),
+        ("http://example.com:80//a//b/", "http://example.com/a/b"),
+        ("https://example.com/", "https://example.com"),
+        ("https://example.com", "https://example.com"),
+        ("https://example.com/p?gclid=1&fbclid=2&ref=tw&utm_medium=m",
+         "https://example.com/p"),
+        ("https://example.com:8443/p", "https://example.com:8443/p"),
+        ("http://sub.www-like.example.com/p?z=1&y=2",
+         "http://sub.www-like.example.com/p?y=2&z=1"),
+    ]
+
+    def test_canonical_rules(self, spark):
+        from datasketches_postgresql_spark.textops.urlops import canonical_url
+
+        df = spark.createDataFrame(
+            [(i, raw) for i, (raw, _) in enumerate(self.CASES)], "i long, url string"
+        )
+        got = {
+            r["i"]: r["c"]
+            for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()
+        }
+        for i, (_, want) in enumerate(self.CASES):
+            assert got[i] == want, (self.CASES[i][0], got[i], want)
+
+    def test_dedup_by_url_keeps_freshest(self, spark):
+        import datetime as dt
+
+        from datasketches_postgresql_spark.textops.urlops import dedup_by_url
+
+        t0 = dt.datetime(2026, 1, 1)
+        t1 = dt.datetime(2026, 2, 1)
+        rows = [
+            ("https://example.com/a?utm_source=x", t0, "old"),
+            ("https://WWW.example.com/a", t1, "new"),     # same canonical, fresher
+            ("https://example.com/b", t0, "only"),
+        ]
+        df = spark.createDataFrame(rows, "url string, warc_ts timestamp, tag string")
+        kept = {r["tag"] for r in dedup_by_url(df, ts_col="warc_ts").collect()}
+        assert kept == {"new", "only"}
+        # without ts: lexicographically smallest raw url wins
+        kept2 = {r["tag"] for r in dedup_by_url(df).collect()}
+        assert kept2 == {"new", "only"} or kept2 == {"old", "only"}
+        # deterministic: min raw url between the two spellings
+        urls = sorted([rows[0][0], rows[1][0]])
+        want = "old" if urls[0] == rows[0][0] else "new"
+        assert kept2 == {want, "only"}
+
+    def test_canonical_stage_is_projection(self, spark):
+        from datasketches_postgresql_spark.textops.urlops import canonical_url
+
+        df = spark.range(100).select(
+            F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                     F.lit(".com/p/"), F.col("id").cast("string")).alias("url")
+        )
+        plan = (
+            df.select(canonical_url(F.col("url")).alias("c"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan

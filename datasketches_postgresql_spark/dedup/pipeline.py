@@ -94,6 +94,15 @@ class DedupConfig:
     # small corpus fraction and re-hashing just those is cheaper than
     # storing fingerprints for everyone.
     fuse_winnow: bool = True
+    # collapse recrawls BEFORE any text stage runs: keep one row per
+    # canonical URL (textops/urlops.py rules; freshest warc_ts wins, raw
+    # url tie-break). Off by default — the synthetic truth corpus plants
+    # duplicates under distinct URLs, and enabling this changes which rows
+    # exist downstream. On a real crawl this is the cheapest tier of all:
+    # one 8-byte-key window before extraction, so every later stage sees
+    # each page once. Incremental mode collapses within each new batch
+    # (cross-batch refetches of the SAME raw url already share doc_id).
+    url_dedup: bool = False
     lineage_lg_k: int = 12
 
     def config_hash(self) -> str:
@@ -256,6 +265,10 @@ class DedupPipeline:
     def run(self, pages: DataFrame, resume: bool = True) -> dict[str, DataFrame]:
         cfg = self.config
         n_computed_before = self._recomputes
+        if cfg.url_dedup:
+            from ..textops.urlops import dedup_by_url
+
+            pages = dedup_by_url(pages, ts_col="warc_ts")
         if cfg.ingest_partitions:
             pages = pages.repartition(cfg.ingest_partitions, F.xxhash64("url"))
 
@@ -431,6 +444,10 @@ class DedupPipeline:
         old_resolved = self.store.read(f"resolved_{suffix}" if suffix else "resolved")
 
         pages = new_pages
+        if cfg.url_dedup:
+            from ..textops.urlops import dedup_by_url
+
+            pages = dedup_by_url(pages, ts_col="warc_ts")
         if cfg.ingest_partitions:
             pages = pages.repartition(cfg.ingest_partitions, F.xxhash64("url"))
         ex_new = self._stage(f"extracted_{batch_id}", lambda: extract_stage(pages), resume)

@@ -248,3 +248,40 @@ class TestFusedWinnow:
         # matching config passes through with the (doc_id, h, hc) shape
         tbl = fused_winnow_table(sigs, 200)
         assert tbl.columns == ["doc_id", "h", "hc"]
+
+
+class TestUrlDedupTier:
+    def test_recrawl_variants_collapse_before_extraction(self, spark, tmp_path):
+        """url_dedup=True: messy recrawl spellings of the same page vanish at
+        ingest, so the downstream stages see exactly the baseline corpus."""
+        import pyspark.sql.functions as F
+
+        from datasketches_postgresql_spark.dedup.pipeline import (
+            DedupConfig,
+            DedupPipeline,
+        )
+        from datasketches_postgresql_spark.sources.corpus import generate_corpus
+
+        pages, _ = generate_corpus(spark, 400, partitions=4)
+        # fabricate a fresher recrawl of every 5th page under a messy URL
+        recrawls = (
+            pages.where(F.xxhash64("url") % 5 == 0)
+            .withColumn(
+                "url",
+                F.concat(
+                    F.regexp_replace("url", "^https://", "HTTPS://WWW."),
+                    F.lit("/?utm_source=recrawl"),
+                ),
+            )
+            .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY"))
+        )
+        messy = pages.unionByName(recrawls)
+
+        cfg = DedupConfig(url_dedup=True)
+        pipe = DedupPipeline(spark, str(tmp_path / "ck"), cfg)
+        out = pipe.run(messy, resume=False)
+        resolved = out["resolved"]
+        assert resolved.count() == pages.count()
+        # the survivor of each collapsed pair is the FRESHER fetch (messy url)
+        n_messy = resolved.where(F.col("url").startswith("HTTPS://WWW.")).count()
+        assert n_messy == recrawls.count()

@@ -32,6 +32,7 @@ from datasketches_postgresql_spark.functions import theta as TH
 from datasketches_postgresql_spark.textops import analysis as TA
 from datasketches_postgresql_spark.textops import ann as ANN
 from datasketches_postgresql_spark.textops import decontaminate as TD
+from datasketches_postgresql_spark.textops import pii as PII
 from datasketches_postgresql_spark.textops import urlops as UO
 from datasketches_postgresql_spark.textops import dedupe as DD
 
@@ -184,36 +185,28 @@ def q_cpc_distinct_users(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-def q_kll_rank_float_med(spark, sf_dir):
-    """kll_sketch_get_rank (double family) + the FLOAT variant's median in
-    one gate (inputs quantized to float32, result typed REAL —
-    sql/datasketches_kll_float_sketch.sql:113 returns real). Merged from the
-    round-2 kll_rank + kll_float_quantile gates so every gate fits the
-    driver's 50-row recording window."""
+def q_kll_rank_median_minmax(spark, sf_dir):
+    """kll_sketch_get_rank (double family), the FLOAT variant's median
+    (inputs quantized to float32, result typed REAL —
+    sql/datasketches_kll_float_sketch.sql:113 returns real), the double
+    median, and get_n/min_item/max_item — one gate (round-2 merged kll_rank
+    + kll_float_quantile and kll_median + kll_minmax_n; round 3 merged
+    those two pairs again to free a driver slot). Exact regime."""
     skd = KLL.kll_double_sketch_build(_ev(spark, sf_dir), ["event_type"], "value", k=_KLL_EXACT_K)
-    rank = skd.select(
+    dbl = skd.select(
         "event_type",
         F.round(KLL.kll_sketch_get_rank(F.col("sketch"), 100.0), 6).alias("rank_100"),
-    )
-    skf = KLL.kll_float_sketch_build(_ev(spark, sf_dir), ["event_type"], "value", k=_KLL_EXACT_K)
-    med = skf.select(
-        "event_type",
-        KLL.kll_sketch_get_quantile(F.col("sketch"), 0.5).cast("float").alias("med_f"),
-    )
-    return rank.join(med, "event_type")
-
-
-def q_kll_median_minmax_n(spark, sf_dir):
-    """kll get_quantile(0.5) + get_n/min_item/max_item in one gate (merged
-    round-2 kll_median + kll_minmax_n)."""
-    sk = KLL.kll_double_sketch_build(_ev(spark, sf_dir), ["event_type"], "value", k=_KLL_EXACT_K)
-    return sk.select(
-        "event_type",
         KLL.kll_sketch_get_quantile(F.col("sketch"), 0.5).alias("med"),
         KLL.kll_sketch_get_n(F.col("sketch")).alias("n"),
         KLL.kll_sketch_get_min_item(F.col("sketch")).alias("vmin"),
         KLL.kll_sketch_get_max_item(F.col("sketch")).alias("vmax"),
     )
+    skf = KLL.kll_float_sketch_build(_ev(spark, sf_dir), ["event_type"], "value", k=_KLL_EXACT_K)
+    flt = skf.select(
+        "event_type",
+        KLL.kll_sketch_get_quantile(F.col("sketch"), 0.5).cast("float").alias("med_f"),
+    )
+    return dbl.join(flt, "event_type")
 
 
 def q_kll_pmf_cdf(spark, sf_dir):
@@ -811,6 +804,38 @@ def q_text_repetition(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_text_pii_redact(spark, sf_dir):
+    """PII redaction (textops/pii.py): emails / IPv4s / phone numbers ->
+    placeholder tokens + per-kind counts, a pure regexp projection. The
+    corpus has no PII, so the gate seeds deterministic PII suffixes from
+    doc_id identically in Spark and the oracle; the oracle replays the
+    exact same Java/RE2-common patterns with DuckDB regexp functions, so
+    the full redacted text is value-hashed."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 4 == 0, F.lit(" contact bob.smith+spam@mail.example.co right away"))
+            .when(did % 4 == 1, F.lit(" call +1 (555) 123-4567 now"))
+            .when(did % 4 == 2, F.lit(" served from 192.168.1.77 port 80"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        PII.scrub(seeded)
+        .select(
+            "doc_id",
+            "redacted",
+            F.col("n_email").cast("bigint").alias("n_email"),
+            F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
+            F.col("n_phone").cast("bigint").alias("n_phone"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_url_canonical_dedup(spark, sf_dir):
     """URL canonicalization + URL-level dedup (textops/urlops.py): the
     cheapest dedup tier for a web crawl. The documents table has no url
@@ -1012,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_decontaminate": q_text_decontaminate,
         "url_canonical_dedup": q_url_canonical_dedup,
+        "text_pii_redact": q_text_pii_redact,
         # -- sketch families ---------------------------------------------------
         "theta_distinct_users_by_type": q_theta_distinct_users_by_type,
         "theta_union_reaggregate": q_theta_union_reaggregate,
@@ -1023,8 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_union_reaggregate": q_hll_union_reaggregate,
         "hll_tgt4_distinct": q_hll_tgt4_distinct,
         "cpc_distinct_users": q_cpc_distinct_users,
-        "kll_rank_float_med": q_kll_rank_float_med,
-        "kll_median_minmax_n": q_kll_median_minmax_n,
+        "kll_rank_median_minmax": q_kll_rank_median_minmax,
         "kll_pmf_cdf": q_kll_pmf_cdf,
         "kll_merge_median": q_kll_merge_median,
         "kll_quantiles_histogram": q_kll_quantiles_histogram,
@@ -1097,36 +1122,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1 AS within_3pct, count(DISTINCT user_id) AS distinct_users
             FROM events
         """,
-        "kll_rank_float_med": """
+        "kll_rank_median_minmax": """
             WITH rk AS (
               SELECT event_type,
-                     round(sum(CASE WHEN value < 100 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS rank_100
+                     round(sum(CASE WHEN value < 100 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS rank_100,
+                     count(*) AS n, min(value) AS vmin, max(value) AS vmax
               FROM events GROUP BY event_type),
             r AS (
-              SELECT event_type, CAST(value AS REAL) AS v,
-                     row_number() OVER (PARTITION BY event_type ORDER BY CAST(value AS REAL)) AS rn,
-                     count(*) OVER (PARTITION BY event_type) AS n
-              FROM events),
-            md AS (
-              SELECT event_type, CAST(min(v) AS REAL) AS med_f FROM r
-              WHERE rn > n * 0.5 GROUP BY event_type)
-            SELECT rk.event_type, rk.rank_100, md.med_f
-            FROM rk JOIN md USING (event_type) ORDER BY event_type
-        """,
-        "kll_median_minmax_n": """
-            WITH r AS (
-              SELECT event_type, value,
+              SELECT event_type, value, CAST(value AS REAL) AS v,
                      row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                     row_number() OVER (PARTITION BY event_type ORDER BY CAST(value AS REAL)) AS rnf,
                      count(*) OVER (PARTITION BY event_type) AS n
               FROM events),
             md AS (
               SELECT event_type, min(value) AS med FROM r
               WHERE rn > n * 0.5 GROUP BY event_type),
-            st AS (
-              SELECT event_type, count(*) AS n, min(value) AS vmin, max(value) AS vmax
-              FROM events GROUP BY event_type)
-            SELECT st.event_type, md.med, st.n, st.vmin, st.vmax
-            FROM st JOIN md USING (event_type) ORDER BY event_type
+            mf AS (
+              SELECT event_type, CAST(min(v) AS REAL) AS med_f FROM r
+              WHERE rnf > n * 0.5 GROUP BY event_type)
+            SELECT rk.event_type, rk.rank_100, md.med, rk.n, rk.vmin, rk.vmax, mf.med_f
+            FROM rk JOIN md USING (event_type) JOIN mf USING (event_type)
+            ORDER BY event_type
+        """,
+        "text_pii_redact": """
+            WITH seeded AS (
+              SELECT doc_id, text ||
+                CASE doc_id % 4
+                  WHEN 0 THEN ' contact bob.smith+spam@mail.example.co right away'
+                  WHEN 1 THEN ' call +1 (555) 123-4567 now'
+                  WHEN 2 THEN ' served from 192.168.1.77 port 80'
+                  ELSE '' END AS t
+              FROM documents),
+            s1 AS (
+              SELECT doc_id,
+                     regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS r,
+                     len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email
+              FROM seeded),
+            s2 AS (
+              SELECT doc_id, n_email,
+                     regexp_replace(r, '\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b', '<IP>', 'g') AS r,
+                     len(regexp_extract_all(r, '\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b')) AS n_ipv4
+              FROM s1),
+            s3 AS (
+              SELECT doc_id, n_email, n_ipv4,
+                     regexp_replace(r, '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g') AS r,
+                     len(regexp_extract_all(r, '\\+?[0-9][0-9()\\- ]{6,}[0-9]')) AS n_phone
+              FROM s2)
+            SELECT doc_id, r AS redacted, n_email, n_ipv4, n_phone
+            FROM s3 ORDER BY doc_id
         """,
         "kll_wire_roundtrip": """
             WITH r AS (

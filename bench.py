@@ -71,13 +71,13 @@ REF_ROWS = int(os.environ.get("REF_BENCH_ROWS", 100_000_000))
 DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data")
 
 # NOTE: gate names track the round-3 consolidation in __spark_entry__.py
-# (kll_rank -> kll_rank_float_med, aod_means -> aod_moments,
+# (kll_rank -> kll_rank_median_minmax, aod_means -> aod_moments,
 # dedup_exact_by_hash -> dedup_exact, text_quality -> text_tokens_quality)
 HEADLINE = [
     "theta_distinct_users_by_type",
     "theta_union_reaggregate",
     "hll_distinct_langs_by_source",
-    "kll_rank_float_med",
+    "kll_rank_median_minmax",
     "kll_merge_median",
     "fi_heavy_event_types",
     "aod_moments",

@@ -499,6 +499,34 @@ class TestUrlOps:
         want = "old" if urls[0] == rows[0][0] else "new"
         assert kept2 == {want, "only"}
 
+    def test_canonicalization_is_idempotent(self, spark):
+        """canonical(canonical(u)) == canonical(u): re-ingesting an already-
+        canonical crawl never reshuffles identities."""
+        from datasketches_postgresql_spark.textops.urlops import canonical_url
+
+        nasty = [
+            "https://example.com",
+            "https://example.com/",
+            "HTTP://WWW.EX.COM:80//a///b//?utm_campaign=z&z=9&a=1#x",
+            "https://ex.com/p?",
+            "https://ex.com/p?&",
+            "https://ex.com/p?utm_source=only",
+            "https://ex.com:443/p?a=1&a=1&b=",
+            "ftp://Files.Ex.com:21/pub/",
+            "https://ex.com/p#only-frag",
+            "http://ex.com:8080/p/?ref=abc&refresh=keep",  # refresh must SURVIVE
+            "https://www.ex.com/trailing///",
+            "https://ex.com/%7Euser/Page?b=2&B=1",  # percent + case-sensitive params
+        ]
+        df = spark.createDataFrame([(i, u) for i, u in enumerate(nasty)], "i long, url string")
+        once = df.select("i", canonical_url(F.col("url")).alias("c"))
+        twice = once.select("i", canonical_url(F.col("c")).alias("c2"), "c")
+        for r in twice.collect():
+            assert r["c2"] == r["c"], (nasty[r["i"]], r["c"], r["c2"])
+        got = {r["i"]: r["c"] for r in once.collect()}
+        assert got[9] == "http://ex.com:8080/p?refresh=keep"  # ref dropped, refresh kept
+        assert got[7] == "ftp://files.ex.com:21/pub"          # non-http port kept
+
     def test_canonical_stage_is_projection(self, spark):
         from datasketches_postgresql_spark.textops.urlops import canonical_url
 
@@ -510,4 +538,34 @@ class TestUrlOps:
             df.select(canonical_url(F.col("url")).alias("c"))
             ._jdf.queryExecution().executedPlan().toString()
         )
+        assert "Exchange" not in plan, plan
+
+
+class TestPiiRedact:
+    def test_each_kind_redacts_and_counts(self, spark):
+        from datasketches_postgresql_spark.textops.pii import scrub
+
+        rows = [
+            (1, "mail me at alice.smith+x@mail.example.co today"),
+            (2, "call +1 (555) 123-4567 or 020-7946-0958 now"),
+            (3, "served from 10.0.0.1 and 192.168.1.77"),
+            (4, "no pii here at all"),
+            (5, "mixed: bob@ex.org from 8.8.8.8 dial +44 20 7946 0958"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in scrub(df).collect()}
+        assert got[1]["redacted"] == "mail me at <EMAIL> today"
+        assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (1, 0, 0)
+        assert got[2]["redacted"] == "call <PHONE> or <PHONE> now"
+        assert got[2]["n_phone"] == 2
+        assert got[3]["redacted"] == "served from <IP> and <IP>"
+        assert got[3]["n_ipv4"] == 2
+        assert got[4]["redacted"] == rows[3][1]
+        assert got[5]["redacted"] == "mixed: <EMAIL> from <IP> dial <PHONE>"
+        assert (got[5]["n_email"], got[5]["n_ipv4"], got[5]["n_phone"]) == (1, 1, 1)
+
+    def test_zero_shuffle_projection(self, spark, docs):
+        from datasketches_postgresql_spark.textops.pii import scrub
+
+        plan = scrub(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan

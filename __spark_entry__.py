@@ -757,13 +757,15 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_text_tokens_quality(spark, sf_dir):
-    """Token counting + quality scoring in one gate (merged round-2
-    text_tokens + text_quality); all three scores are JVM-native
-    expressions over the same scan."""
+    """Token counting (whitespace + the BPE-ish GPT-2 pre-tokenizer rule)
+    + quality scoring in one gate (merged round-2 text_tokens +
+    text_quality); all four scores are JVM-native expressions over the
+    same scan."""
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         TA.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        TA.bpe_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
         F.round(TA.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
         F.round(TA.mean_word_len(F.col("text")), 6).alias("mean_word_len"),
     )
@@ -1512,6 +1514,8 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens_quality": """
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')) AS n_bpe_tokens,
                    round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) ) * 1.0 /
                          greatest(length(text), 1), 6) AS punct_ratio,
                    round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 /

@@ -41,6 +41,21 @@ def token_count(text: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer, restricted to RE2-safe syntax (no lookahead,
+# which the canonical pattern uses only to split trailing whitespace):
+# contractions, then letter runs, digit runs, and symbol runs, each
+# consuming one optional leading space. Runs of extra whitespace are not
+# tokens. Both Java regex (Spark) and RE2 (DuckDB) read this identically.
+BPE_PRETOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: matches of the GPT-2 pre-tokenizer split rule.
+    An upper proxy for post-merge BPE length (merges only shrink it) — the
+    budget number a training-mix planner wants per document."""
+    return F.regexp_count(text, F.lit(BPE_PRETOKEN_RE))
+
+
 def punct_ratio(text: Column) -> Column:
     clean = F.regexp_replace(text, _PUNCT_CLASS, "")
     return (F.length(text) - F.length(clean)) / F.greatest(F.length(text), F.lit(1))
@@ -140,6 +155,41 @@ def dup_ngram_frac(text: Column, n: int = 5) -> Column:
     return (F.size(grams) - F.size(F.array_distinct(grams))) / F.greatest(
         F.size(grams), F.lit(1)
     )
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_dup_word_frac: float = 0.5,
+    max_top_2gram_frac: float = 0.20,
+    max_dup_5gram_frac: float = 0.15,
+    min_stopword_ratio: float = 0.0,
+) -> DataFrame:
+    """Gopher-rules composite quality filter: one boolean predicate over
+    the per-doc signals above (length window, word-length window,
+    repetition caps, optional stopword floor), with defaults tracking the
+    published MassiveText thresholds where a word-level analogue exists.
+    Adds ``keep`` (boolean); callers ``.where("keep")`` — keeping the
+    column lets a pipeline audit WHY a doc dropped by re-deriving the
+    individual signals, all in the same zero-shuffle projection."""
+    t = F.col(text_col)
+    nw = token_count(t)
+    mwl = mean_word_len(t)
+    keep = (
+        (nw >= min_words)
+        & (nw <= max_words)
+        & (mwl >= min_mean_word_len)
+        & (mwl <= max_mean_word_len)
+        & (dup_word_frac(t) <= max_dup_word_frac)
+        & (top_ngram_frac(t, 2) <= max_top_2gram_frac)
+        & (dup_ngram_frac(t, 5) <= max_dup_5gram_frac)
+        & (stopword_ratio(t) >= min_stopword_ratio)
+    )
+    return df.withColumn("keep", keep)
 
 
 def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:

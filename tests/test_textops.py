@@ -569,3 +569,48 @@ class TestPiiRedact:
 
         plan = scrub(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+class TestBpeTokensAndGopherFilter:
+    def test_bpe_pretokenizer_rule(self, spark):
+        import re
+
+        from datasketches_postgresql_spark.textops.analysis import (
+            BPE_PRETOKEN_RE,
+            bpe_token_count,
+        )
+
+        cases = [
+            "it's a test",            # contraction splits: it + 's + a + test
+            "we've 42 cats!!",        # 've, digit run, symbol run
+            "hello   world",          # extra spaces are not tokens
+            "a1b2",                   # letter/digit alternation
+            "",
+        ]
+        df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, t string")
+        got = {r["i"]: r["n"] for r in df.select("i", bpe_token_count(F.col("t")).alias("n")).collect()}
+        # py re lacks \p{...}; all cases are ASCII, so emulate the rule with
+        # ASCII classes (kept structurally identical to BPE_PRETOKEN_RE)
+        assert r"\p{L}" in BPE_PRETOKEN_RE  # emulation tracks the real rule
+        py_pat = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+        for i, c in enumerate(cases):
+            assert got[i] == len(re.findall(py_pat, c)), (c, got[i])
+        assert got[0] == 4 and got[4] == 0
+
+    def test_gopher_filter_keep_flags(self, spark):
+        from datasketches_postgresql_spark.textops.analysis import gopher_filter
+
+        good = "the " + " ".join(f"word{i:03d}" for i in range(60))  # 61 words, varied
+        spammy = ("buy now " * 40).strip()                                  # 80 words, all dup 2-gram
+        short = "too short to keep"
+        df = spark.createDataFrame(
+            [(1, good), (2, spammy), (3, short)], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r["keep"] for r in gopher_filter(df).collect()}
+        assert got == {1: True, 2: False, 3: False}
+
+    def test_filter_is_projection(self, spark, docs):
+        from datasketches_postgresql_spark.textops.analysis import gopher_filter
+
+        plan = gopher_filter(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan

@@ -50,6 +50,9 @@ def main() -> None:
     ap.add_argument("--representative", default="url", choices=("url", "quality"),
                     help="which cluster member survives: lexicographic-min "
                          "url (default) or highest quality_score")
+    ap.add_argument("--url-dedup", action="store_true",
+                    help="collapse recrawls by canonical URL before any text "
+                         "stage (freshest warc_ts wins)")
     args = ap.parse_args()
 
     from datasketches_postgresql_spark.dedup.pipeline import DedupConfig, DedupPipeline
@@ -70,6 +73,7 @@ def main() -> None:
         rows=args.rows,
         jaccard_threshold=args.jaccard,
         representative_policy=args.representative,
+        url_dedup=args.url_dedup,
     )
     pipe = DedupPipeline(spark, args.checkpoint, cfg)
     if args.incremental_batch:

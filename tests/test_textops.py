@@ -614,3 +614,22 @@ class TestBpeTokensAndGopherFilter:
 
         plan = gopher_filter(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+class TestPiiIdempotence:
+    def test_redaction_is_idempotent_and_tokens_survive(self, spark):
+        """redact(redact(x)) == redact(x): placeholder tokens contain no
+        digits or @, so a second pass over already-scrubbed text is a
+        no-op — safe to re-run the scrub stage on a resumed pipeline."""
+        from datasketches_postgresql_spark.textops.pii import redact_pii
+
+        rows = [
+            (1, "bob@ex.org and 10.0.0.1 and +1 (555) 123-4567"),
+            (2, "plain text stays plain"),
+            (3, "<EMAIL> <IP> <PHONE> already scrubbed"),
+        ]
+        df = spark.createDataFrame(rows, "i long, t string")
+        once = df.select("i", redact_pii(F.col("t")).alias("r"))
+        twice = once.select("i", "r", redact_pii(F.col("r")).alias("r2"))
+        for row in twice.collect():
+            assert row["r2"] == row["r"], row

@@ -58,7 +58,12 @@ def canonical_url(url: Column) -> Column:
     qpart = F.when(
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, path, qpart)
+    # a string with no scheme:// is not a URL we can canonicalize — keep it
+    # verbatim (identity), else every malformed row would collapse into the
+    # single "://" group and dedup_by_url would drop all but one of them
+    return F.when(scheme == "", F.trim(url)).otherwise(
+        F.concat(scheme, F.lit("://"), host, path, qpart)
+    )
 
 
 def dedup_by_url(

@@ -633,3 +633,63 @@ class TestPiiIdempotence:
         twice = once.select("i", "r", redact_pii(F.col("r")).alias("r2"))
         for row in twice.collect():
             assert row["r2"] == row["r"], row
+
+
+class TestTextopsEdgeSemantics:
+    """Pin null/empty/unicode semantics of the round-3 textops: null text is
+    null-in-null-out (SQL-idiomatic; gopher_filter's keep=null drops the doc
+    on .where("keep"), the conservative outcome), empty/whitespace text
+    yields zero counts, and \\p{L} token runs cover non-ASCII scripts."""
+
+    def _edge(self, spark):
+        return spark.createDataFrame(
+            [(1, None), (2, ""), (3, "   "), (4, "héllo wörld naïve café")],
+            "doc_id long, text string",
+        )
+
+    def test_repetition_and_bpe(self, spark):
+        from datasketches_postgresql_spark.textops.analysis import (
+            bpe_token_count,
+            repetition_signals,
+        )
+
+        out = {r["doc_id"]: r for r in repetition_signals(self._edge(spark)).collect()}
+        assert out[1]["n_words"] is None and out[1]["dup_word_frac"] is None
+        assert out[2]["n_words"] == 0 and out[2]["dup_word_frac"] == 0.0
+        assert out[3]["n_words"] == 0
+        assert out[4]["n_words"] == 4
+        bpe = {
+            r["doc_id"]: r["n"]
+            for r in self._edge(spark)
+            .select("doc_id", bpe_token_count(F.col("text")).alias("n"))
+            .collect()
+        }
+        assert bpe == {1: None, 2: 0, 3: 0, 4: 4}  # \p{L} covers é/ö/ï
+
+    def test_scrub_and_gopher_null_passthrough(self, spark):
+        from datasketches_postgresql_spark.textops.analysis import gopher_filter
+        from datasketches_postgresql_spark.textops.pii import scrub
+
+        sc = {r["doc_id"]: (r["redacted"], r["n_email"]) for r in scrub(self._edge(spark)).collect()}
+        assert sc[1] == (None, None)
+        assert sc[2] == ("", 0)
+        keep = {r["doc_id"]: r["keep"] for r in gopher_filter(self._edge(spark)).collect()}
+        assert keep[1] is None  # null text -> null keep -> dropped by where()
+        assert keep[2] is False
+        n_kept = gopher_filter(self._edge(spark)).where("keep").count()
+        assert n_kept == 0
+
+    def test_malformed_url_stays_identity(self, spark):
+        from datasketches_postgresql_spark.textops.urlops import canonical_url, dedup_by_url
+
+        df = spark.createDataFrame(
+            [(1, "not a url at all"), (2, "also-not-a-url"), (3, ""), (4, "HTTPS://EX.com/")],
+            "i long, url string",
+        )
+        got = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+        assert got[1] == "not a url at all"   # identity, NOT "://"
+        assert got[2] == "also-not-a-url"
+        assert got[3] == ""
+        assert got[4] == "https://ex.com"
+        # distinct malformed rows must NOT collapse into one dedup group
+        assert dedup_by_url(df).count() == 4

@@ -73,12 +73,20 @@ def q_theta_distinct_users_by_type(spark, sf_dir):
     )
 
 
-def q_theta_union_reaggregate(spark, sf_dir):
+def q_theta_reaggregate(spark, sf_dir):
+    """theta_sketch_union AND theta_sketch_intersection AGGREGATES over the
+    same stored per-group sketches in one gate (merged round-3
+    theta_union_reaggregate + theta_intersection_reaggregate;
+    sql/datasketches_theta_sketch.sql:147-163): users seen under ANY
+    event_type vs users present in EVERY event_type."""
     sk = TH.theta_sketch_build(_ev(spark, sf_dir), ["event_type"], "user_id")
-    merged = TH.theta_sketch_union_agg(sk, [], "sketch")
-    return merged.select(
+    union = TH.theta_sketch_union_agg(sk, [], "sketch").select(
         TH.theta_sketch_get_estimate("sketch").cast("bigint").alias("distinct_users")
     )
+    inter = TH.theta_sketch_intersection_agg(sk, [], "sketch").select(
+        TH.theta_sketch_get_estimate("sketch").cast("bigint").alias("n_all_types")
+    )
+    return union.crossJoin(inter)
 
 
 def q_theta_set_ops(spark, sf_dir):
@@ -296,14 +304,21 @@ def q_kll_quantiles_histogram(spark, sf_dir):
     return quant.unionByName(hist).orderBy("item")
 
 
-def q_theta_intersection_reaggregate(spark, sf_dir):
-    """theta_sketch_intersection AGGREGATE over stored per-group sketches
-    (sql/datasketches_theta_sketch.sql:155-163): users present in EVERY
-    event_type."""
-    sk = TH.theta_sketch_build(_ev(spark, sf_dir), ["event_type"], "user_id")
-    inter = TH.theta_sketch_intersection_agg(sk, [], "sketch")
-    return inter.select(
-        TH.theta_sketch_get_estimate("sketch").cast("bigint").alias("n_all_types")
+def q_text_line_dedup(spark, sf_dir):
+    """Corpus-level repeated-line removal (textops/linededup.py — the
+    CCNet/RefinedWeb boilerplate tier). The synthetic documents table is
+    single-line, so the gate first synthesizes line structure
+    deterministically: every literal ' table ' separator becomes a
+    newline (the oracle applies the identical replace), then every
+    trimmed line present in >= 2 distinct docs is dropped, preserving
+    order and blank lines."""
+    from datasketches_postgresql_spark.textops.linededup import dedup_lines
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.replace(F.col("text"), F.lit(" table "), F.lit("\n")).alias("text")
+    )
+    return dedup_lines(d).orderBy("doc_id").select(
+        "doc_id", "text_deduped", "n_lines", "n_dropped"
     )
 
 
@@ -1040,10 +1055,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "url_canonical_dedup": q_url_canonical_dedup,
         "text_pii_redact": q_text_pii_redact,
+        "text_line_dedup": q_text_line_dedup,
         # -- sketch families ---------------------------------------------------
         "theta_distinct_users_by_type": q_theta_distinct_users_by_type,
-        "theta_union_reaggregate": q_theta_union_reaggregate,
-        "theta_intersection_reaggregate": q_theta_intersection_reaggregate,
+        "theta_reaggregate": q_theta_reaggregate,
         "theta_set_ops": q_theta_set_ops,
         "sketch_bounds_exact": q_sketch_bounds_exact,
         "theta_wire_roundtrip": q_theta_wire_roundtrip,
@@ -1086,8 +1101,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS distinct_users
             FROM events GROUP BY event_type ORDER BY event_type
         """,
-        "theta_union_reaggregate": """
-            SELECT count(DISTINCT user_id) AS distinct_users FROM events
+        "theta_reaggregate": """
+            SELECT
+              (SELECT count(DISTINCT user_id) FROM events) AS distinct_users,
+              (SELECT count(*) FROM (
+                 SELECT user_id FROM events GROUP BY user_id
+                 HAVING count(DISTINCT event_type) =
+                        (SELECT count(DISTINCT event_type) FROM events))) AS n_all_types
+        """,
+        "text_line_dedup": """
+            WITH d2 AS (
+              SELECT doc_id, replace(text, ' table ', chr(10)) AS text FROM documents
+            ), ls AS (
+              SELECT doc_id, string_split(text, chr(10)) AS arr FROM d2
+            ), lines AS (
+              SELECT doc_id,
+                     unnest(arr) AS line,
+                     unnest(generate_series(1, len(arr))) AS pos
+              FROM ls
+            ), freq AS (
+              SELECT trim(line) AS norm FROM lines WHERE trim(line) <> ''
+              GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+            ), flagged AS (
+              SELECT l.doc_id, l.pos, l.line, (f.norm IS NOT NULL) AS dup
+              FROM lines l LEFT JOIN freq f ON trim(l.line) = f.norm
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE NOT dup), '') AS text_deduped,
+                   count(*) AS n_lines,
+                   count(*) FILTER (WHERE dup) AS n_dropped
+            FROM flagged GROUP BY doc_id ORDER BY doc_id
         """,
         "theta_set_ops": """
             WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
@@ -1252,12 +1296,6 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT train.g) AS grams_hit
             FROM train JOIN bench USING (g)
             GROUP BY train.doc_id ORDER BY doc_id
-        """,
-        "theta_intersection_reaggregate": """
-            SELECT count(*) AS n_all_types FROM (
-              SELECT user_id FROM events GROUP BY user_id
-              HAVING count(DISTINCT event_type) =
-                     (SELECT count(DISTINCT event_type) FROM events))
         """,
         "theta_wire_roundtrip": """
             SELECT event_type, 3 AS serial_version, 3 AS family,

@@ -75,7 +75,7 @@ DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data")
 # dedup_exact_by_hash -> dedup_exact, text_quality -> text_tokens_quality)
 HEADLINE = [
     "theta_distinct_users_by_type",
-    "theta_union_reaggregate",
+    "theta_reaggregate",  # round-3 merge: union+intersection reaggregate in one gate
     "hll_distinct_langs_by_source",
     "kll_rank_median_minmax",
     "kll_merge_median",

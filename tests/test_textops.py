@@ -693,3 +693,65 @@ class TestTextopsEdgeSemantics:
         assert got[4] == "https://ex.com"
         # distinct malformed rows must NOT collapse into one dedup group
         assert dedup_by_url(df).count() == 4
+
+
+class TestLineDedup:
+    """Corpus-level repeated-line removal (textops/linededup.py)."""
+
+    def _corpus(self, spark):
+        boiler = "Accept cookies to continue"
+        footer = "© example.com"
+        return spark.createDataFrame(
+            [
+                (1, f"{boiler}\nunique one\n\n{footer}"),
+                (2, f"{boiler}\nunique two\n{footer}"),
+                (3, "totally original\n\nno boilerplate here"),
+                (4, "self repeat\nself repeat\nself repeat"),  # 1 doc only
+                (5, None),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_drops_frequent_keeps_unique_and_blank(self, spark):
+        from datasketches_postgresql_spark.textops.linededup import dedup_lines
+
+        out = {r["doc_id"]: r for r in dedup_lines(self._corpus(spark)).collect()}
+        # boilerplate + footer dropped, blank line and order preserved
+        assert out[1]["text_deduped"] == "unique one\n"
+        assert (out[1]["n_lines"], out[1]["n_dropped"]) == (4, 2)
+        assert out[2]["text_deduped"] == "unique two"
+        # untouched doc is byte-identical
+        assert out[3]["text_deduped"] == "totally original\n\nno boilerplate here"
+        assert out[3]["n_dropped"] == 0
+        # intra-doc repetition alone is NOT corpus-frequent (count is
+        # DISTINCT docs), so doc 4 survives whole
+        assert out[4]["text_deduped"] == "self repeat\nself repeat\nself repeat"
+        # null text -> no output row (matches SQL unnest semantics)
+        assert 5 not in out
+
+    def test_min_docs_threshold(self, spark):
+        from datasketches_postgresql_spark.textops.linededup import dedup_lines
+
+        out = {
+            r["doc_id"]: r["n_dropped"]
+            for r in dedup_lines(self._corpus(spark), min_docs=3).collect()
+        }
+        # only "Accept cookies..." would need 3 docs; nothing reaches it
+        assert all(v == 0 for v in out.values())
+
+    def test_precomputed_snapshot_freq(self, spark):
+        from datasketches_postgresql_spark.textops.linededup import (
+            dedup_lines,
+            frequent_lines,
+        )
+
+        snap = frequent_lines(self._corpus(spark))
+        batch = spark.createDataFrame(
+            [(10, "Accept cookies to continue\nfresh crawl text")],
+            "doc_id long, text string",
+        )
+        # the batch alone has no frequent lines, but the snapshot's
+        # boilerplate table still cleans it (incremental-crawl path)
+        row = dedup_lines(batch, freq=snap).collect()[0]
+        assert row["text_deduped"] == "fresh crawl text"
+        assert row["n_dropped"] == 1

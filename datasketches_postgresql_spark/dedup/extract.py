@@ -56,6 +56,92 @@ EXTRACTED_SCHEMA = StructType(
 )
 
 
+# block-level elements end a visual line; used by the opt-in line-dedup
+# cleaning tier to recover line structure the whitespace collapse erases
+_BLOCK_TAG_RE = re.compile(
+    r"(?is)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|td|th|section|article|"
+    r"header|footer|nav|blockquote|pre|form|dl|dt|dd|figure|aside|main)\b[^>]*>"
+)
+_INLINE_WS_RE = re.compile(r"[^\S\n]+")  # any whitespace except newline
+_NL_RE = re.compile(r"[^\S\n]*\n\s*")  # newline + surrounding ws -> one \n
+
+
+def extract_block_series(html: pd.Series) -> pd.Series:
+    """bytes -> extracted text with ONE newline between block elements.
+
+    Identical to :func:`extract_text_series` except block-level tags become
+    newlines instead of spaces, so collapsing every whitespace run of the
+    result to a single space reproduces the canonical text byte-for-byte
+    (pinned by tests) — the pipeline derives BOTH the canonical ``extracted``
+    table and the line-structured ``blocks`` table from one html decode."""
+    s = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
+    s = s.str.replace(_SCRIPT_RE, " ", regex=True)
+    s = s.str.replace(_COMMENT_RE, " ", regex=True)
+    s = s.str.replace(_BLOCK_TAG_RE, "\n", regex=True)
+    s = s.str.replace(_TAG_RE, " ", regex=True)
+    for ent, rep in _ENTITIES:
+        s = s.str.replace(ent, rep, regex=False)
+    s = s.str.replace(_INLINE_WS_RE, " ", regex=True)
+    s = s.str.replace(_NL_RE, "\n", regex=True)
+    return s.str.strip()
+
+
+BLOCKS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("url", StringType()),
+        StructField("lang", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def extract_blocks_stage(pages: DataFrame) -> DataFrame:
+    """(url, warc_ts, html, text, lang) -> (doc_id, url, lang, text) where
+    text keeps one newline per block boundary. Same doc_id contract as
+    :func:`extract_stage`."""
+    proj = pages.select(F.xxhash64("url").alias("doc_id"), "url", "lang", "html")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "url": pdf["url"],
+                    "lang": pdf["lang"],
+                    "text": extract_block_series(pdf["html"]),
+                }
+            )
+
+    return proj.mapInPandas(run, schema=BLOCKS_SCHEMA)
+
+
+def canonicalize_stage(blocks: DataFrame) -> DataFrame:
+    """(doc_id, url, lang, text-with-newlines) -> EXTRACTED_SCHEMA by
+    collapsing every whitespace run to one space. Runs the SAME Python
+    ``\\s`` collapse as extract_text_series (unicode-aware — Java regex
+    ``\\s`` is ASCII-only, so this stays a pandas pass on purpose):
+    canonicalize_stage(extract_blocks_stage(p)) == extract_stage(p)
+    byte-for-byte, which keeps the extracted checkpoint invariant when the
+    line-dedup tier derives it from the blocks table instead of re-decoding
+    html."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            text = pdf["text"].str.replace(_WS_RE, " ", regex=True).str.strip()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "url": pdf["url"],
+                    "lang": pdf["lang"],
+                    "text": text,
+                    "n_chars": text.str.len().astype("int64"),
+                }
+            )
+
+    return blocks.mapInPandas(run, schema=EXTRACTED_SCHEMA)
+
+
 def extract_stage(pages: DataFrame) -> DataFrame:
     """(url, warc_ts, html, text, lang) -> (doc_id, url, lang, text, n_chars).
 

@@ -38,7 +38,7 @@ from ..sketches import theta as _theta
 from ..plans.materialize import materialize
 from ..sources.io import CheckpointStore
 from .cc import connected_components
-from .extract import extract_stage
+from .extract import canonicalize_stage, extract_blocks_stage, extract_stage
 from .lsh import DEFAULT_BANDS, DEFAULT_ROWS, candidate_edges
 from .minhash import DEFAULT_NUM_PERM, signature_stage
 from .shingle import DEFAULT_SHINGLE_N
@@ -103,6 +103,21 @@ class DedupConfig:
     # each page once. Incremental mode collapses within each new batch
     # (cross-batch refetches of the SAME raw url already share doc_id).
     url_dedup: bool = False
+    # corpus-level repeated-line removal (textops/linededup.py) as an
+    # opt-in CLEANING tier between extraction and signatures: lines whose
+    # trimmed form appears in >= line_dedup_min_docs distinct docs
+    # (nav bars, cookie banners, footers) are dropped before shingling.
+    # The raw ``extracted`` checkpoint is NEVER modified — cleaning lands
+    # in a separate ``cleaned`` checkpoint — so the byte-identical
+    # extracted-text-per-url invariant vs the reference holds regardless.
+    # Off by default: removing boilerplate changes which docs near-match,
+    # i.e. the cluster assignments, so it must be an explicit choice.
+    # Incremental batches are cleaned with the BASE run's frequent-line
+    # table (``line_freq`` checkpoint): boilerplate statistics are stable
+    # across crawl snapshots at web scale, and reusing them keeps the
+    # increment O(batch).
+    line_dedup: bool = False
+    line_dedup_min_docs: int = 4
     lineage_lg_k: int = 12
 
     def config_hash(self) -> str:
@@ -261,6 +276,30 @@ class DedupPipeline:
         self._recomputes += 1
         return out
 
+    # -- opt-in boilerplate-line cleaning tier ---------------------------------
+    def _line_apply(self, blocks: DataFrame, freq: DataFrame) -> DataFrame:
+        """blocks (line-structured text) -> line-deduped CANONICAL text in
+        the extracted schema, so every downstream stage is cleaning-agnostic."""
+        from ..textops.linededup import dedup_lines
+
+        kept = dedup_lines(blocks, freq=freq, carry_cols=("url", "lang")).select(
+            "doc_id", "url", "lang", F.col("text_deduped").alias("text")
+        )
+        return canonicalize_stage(kept)
+
+    def _line_clean_base(self, blocks: DataFrame, resume: bool) -> DataFrame:
+        from ..textops.linededup import frequent_lines
+
+        cfg = self.config
+        freq = self._stage(
+            "line_freq",
+            lambda: frequent_lines(blocks, min_docs=cfg.line_dedup_min_docs),
+            resume,
+        )
+        cleaned = self._stage("cleaned", lambda: self._line_apply(blocks, freq), resume)
+        self._metric("cleaned", "boilerplate_lines", self._rows("line_freq"))
+        return cleaned
+
     # -- the pipeline ------------------------------------------------------------
     def run(self, pages: DataFrame, resume: bool = True) -> dict[str, DataFrame]:
         cfg = self.config
@@ -272,8 +311,20 @@ class DedupPipeline:
         if cfg.ingest_partitions:
             pages = pages.repartition(cfg.ingest_partitions, F.xxhash64("url"))
 
-        extracted = self._stage("extracted", lambda: extract_stage(pages), resume)
+        if cfg.line_dedup:
+            # ONE html decode feeds both tables: the line-structured blocks
+            # (for the cleaning tier) and the canonical extracted checkpoint,
+            # derived by whitespace collapse — byte-identical to
+            # extract_stage(pages) (pinned by tests), so the per-url
+            # extracted-text invariant holds with cleaning enabled
+            blocks = self._stage("blocks", lambda: extract_blocks_stage(pages), resume)
+            extracted = self._stage("extracted", lambda: canonicalize_stage(blocks), resume)
+        else:
+            extracted = self._stage("extracted", lambda: extract_stage(pages), resume)
         self._metric("extracted", "rows", self._rows("extracted"))
+        if cfg.line_dedup:
+            # cleaning lands in its own checkpoint; extracted stays raw
+            extracted = self._line_clean_base(blocks, resume)
 
         fuse = cfg.fuse_cdc and cfg.enable_containment and cfg.substring_mode == "cdc"
         fuse_win = cfg.fuse_winnow and cfg.enable_containment and cfg.substring_mode == "cdc"
@@ -423,7 +474,10 @@ class DedupPipeline:
         cfg = self.config
         h = cfg.config_hash()
         suffix, prior = self._base_for(batch_id)
-        for st in ("extracted", "signatures"):
+        base_stages = ["extracted", "signatures"]
+        if cfg.line_dedup:
+            base_stages += ["line_freq", "cleaned"]
+        for st in base_stages:
             if not self.store.completed(st, h):
                 raise ValueError(
                     f"run_incremental needs a completed base stage '{st}' "
@@ -439,7 +493,8 @@ class DedupPipeline:
         from .lsh import band_hashes, candidate_edges_from_bands
 
         old_sigs = self._base_union("signatures", prior)
-        old_extracted = self._base_union("extracted", prior)
+        # the text table the base signatures were actually computed over
+        old_extracted = self._base_union("cleaned" if cfg.line_dedup else "extracted", prior)
         old_clusters = self.store.read(f"clusters_{suffix}" if suffix else "clusters")
         old_resolved = self.store.read(f"resolved_{suffix}" if suffix else "resolved")
 
@@ -450,8 +505,23 @@ class DedupPipeline:
             pages = dedup_by_url(pages, ts_col="warc_ts")
         if cfg.ingest_partitions:
             pages = pages.repartition(cfg.ingest_partitions, F.xxhash64("url"))
-        ex_new = self._stage(f"extracted_{batch_id}", lambda: extract_stage(pages), resume)
+        if cfg.line_dedup:
+            blocks_new = self._stage(
+                f"blocks_{batch_id}", lambda: extract_blocks_stage(pages), resume
+            )
+            ex_new = self._stage(
+                f"extracted_{batch_id}", lambda: canonicalize_stage(blocks_new), resume
+            )
+        else:
+            ex_new = self._stage(f"extracted_{batch_id}", lambda: extract_stage(pages), resume)
         self._metric(f"extracted_{batch_id}", "rows", self._rows(f"extracted_{batch_id}"))
+        if cfg.line_dedup:
+            # clean with the BASE run's boilerplate statistics — O(batch),
+            # no corpus re-scan; see DedupConfig.line_dedup
+            freq = self.store.read("line_freq")
+            ex_new = self._stage(
+                f"cleaned_{batch_id}", lambda: self._line_apply(blocks_new, freq), resume
+            )
 
         fuse = cfg.fuse_cdc and cfg.enable_containment and cfg.substring_mode == "cdc"
         fuse_win = cfg.fuse_winnow and cfg.enable_containment and cfg.substring_mode == "cdc"

@@ -32,12 +32,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _exploded_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _exploded_lines(
+    df: DataFrame, id_col: str, text_col: str, carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """One row per (doc, position, line). split(.., -1) keeps trailing
     empties so reassembly is byte-exact for untouched documents; docs with
     NULL text produce no rows (null-in, absent-out, matching SQL unnest)."""
     return df.select(
         F.col(id_col).alias("doc_id"),
+        *carry_cols,
         F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
     )
 
@@ -66,6 +69,7 @@ def dedup_lines(
     text_col: str = "text",
     min_docs: int = 2,
     freq: DataFrame | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Remove corpus-frequent lines from every document.
 
@@ -77,8 +81,12 @@ def dedup_lines(
     Pass a precomputed ``freq`` (from :func:`frequent_lines`, possibly
     built on a larger snapshot) to decouple the boilerplate statistics
     from the batch being cleaned — the incremental-crawl path.
+
+    ``carry_cols`` are per-document constant columns (url, lang, ...)
+    threaded through the single reassembly groupBy via first(), so a
+    caller replacing text in a wider table pays no doc_id re-join.
     """
-    lines = _exploded_lines(df, id_col, text_col)
+    lines = _exploded_lines(df, id_col, text_col, carry_cols)
     if freq is None:
         freq = frequent_lines(df, id_col, text_col, min_docs)
     norm = F.trim(F.col("line"))
@@ -88,6 +96,7 @@ def dedup_lines(
         .join(freq.select("line_hash", F.lit(True).alias("__dup")), "line_hash", "left")
         .select(
             "doc_id",
+            *carry_cols,
             "pos",
             "line",
             # blank lines are structural, never boilerplate-dropped
@@ -99,6 +108,7 @@ def dedup_lines(
     return (
         flagged.groupBy("doc_id")
         .agg(
+            *[F.first(c).alias(c) for c in carry_cols],
             F.array_join(F.transform(kept, lambda x: x["line"]), "\n").alias("text_deduped"),
             F.count("*").alias("n_lines"),
             F.sum(F.col("dup").cast("long")).alias("n_dropped"),

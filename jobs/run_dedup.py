@@ -53,6 +53,11 @@ def main() -> None:
     ap.add_argument("--url-dedup", action="store_true",
                     help="collapse recrawls by canonical URL before any text "
                          "stage (freshest warc_ts wins)")
+    ap.add_argument("--line-dedup", type=int, nargs="?", const=4, default=0,
+                    metavar="MIN_DOCS",
+                    help="drop lines appearing in >= MIN_DOCS distinct docs "
+                         "(default 4 when flag given) before shingling; the "
+                         "raw extracted checkpoint is kept unmodified")
     args = ap.parse_args()
 
     from datasketches_postgresql_spark.dedup.pipeline import DedupConfig, DedupPipeline
@@ -74,6 +79,8 @@ def main() -> None:
         jaccard_threshold=args.jaccard,
         representative_policy=args.representative,
         url_dedup=args.url_dedup,
+        line_dedup=bool(args.line_dedup),
+        line_dedup_min_docs=args.line_dedup or 4,
     )
     pipe = DedupPipeline(spark, args.checkpoint, cfg)
     if args.incremental_batch:

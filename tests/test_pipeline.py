@@ -285,3 +285,118 @@ class TestUrlDedupTier:
         # the survivor of each collapsed pair is the FRESHER fetch (messy url)
         n_messy = resolved.where(F.col("url").startswith("HTTPS://WWW.")).count()
         assert n_messy == recrawls.count()
+
+
+class TestLineDedupTier:
+    """Opt-in corpus-level boilerplate-line removal (DedupConfig.line_dedup)."""
+
+    _NAV = "Home About Products Contact Accept cookies to continue"
+    _FOOT = "(c) example.org All rights reserved Privacy Terms"
+
+    def _pages(self, spark, n=12):
+        import datetime
+
+        rows = []
+        for i in range(n):
+            body = f"unique page body {i} " + " ".join(
+                f"w{i}x{j}" for j in range(40)
+            )
+            html = (
+                f"<html><body><div>{self._NAV}</div>"
+                f"<p>{body}</p>"
+                f"<div>{self._FOOT}</div></body></html>"
+            ).encode()
+            rows.append(
+                (
+                    f"https://ex{i}.org/p",
+                    datetime.datetime(2026, 1, 1, i % 24),
+                    bytearray(html),
+                    "",
+                    "en",
+                )
+            )
+        return spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+
+    def test_blocks_canonicalize_byte_identical_to_extract(self, spark):
+        """canonicalize_stage(extract_blocks_stage(p)) must reproduce
+        extract_stage(p) byte-for-byte — the extracted-checkpoint invariant
+        the line-dedup tier relies on — including on adversarial html
+        (unicode whitespace, entities, script-wrapped block tags)."""
+        import datetime
+
+        from datasketches_postgresql_spark.dedup.extract import (
+            canonicalize_stage,
+            extract_blocks_stage,
+            extract_stage,
+        )
+
+        nasty = [
+            b"<div>a\xc2\xa0b</div><p>c &amp; d &nbsp; e</p>",
+            b"<script><div>not text</div></script><h1>T</h1>x<br/>y",
+            b"plain no tags \xc2\xa0 \t mixed   ws",
+            b"<!-- <p>comment</p> --><ul><li>one</li><li>two</li></ul>",
+            b"<DIV CLASS='x'>upper</DIV><p\n  attr=1>split attr</p>",
+        ]
+        pages = self._pages(spark).unionByName(
+            spark.createDataFrame(
+                [
+                    (f"https://nasty{i}.org/", datetime.datetime(2026, 1, 2), bytearray(h), "", "en")
+                    for i, h in enumerate(nasty)
+                ],
+                "url string, warc_ts timestamp, html binary, text string, lang string",
+            )
+        )
+        a = {r["url"]: r for r in extract_stage(pages).collect()}
+        b = {r["url"]: r for r in canonicalize_stage(extract_blocks_stage(pages)).collect()}
+        assert set(a) == set(b)
+        for u in a:
+            assert a[u]["text"] == b[u]["text"], u
+            assert a[u]["n_chars"] == b[u]["n_chars"], u
+
+    def test_boilerplate_stripped_cleaned_not_extracted(self, spark, tmp_path):
+        from datasketches_postgresql_spark.dedup.pipeline import (
+            DedupConfig,
+            DedupPipeline,
+        )
+
+        cfg = DedupConfig(line_dedup=True, line_dedup_min_docs=4)
+        pipe = DedupPipeline(spark, str(tmp_path / "ck"), cfg)
+        out = pipe.run(self._pages(spark), resume=False)
+        # run() hands downstream the CLEANED table under the extracted key
+        cleaned = {r["url"]: r["text"] for r in out["extracted"].collect()}
+        for u, t in cleaned.items():
+            assert self._NAV not in t, u
+            assert self._FOOT not in t, u
+            assert "unique page body" in t, u
+        # the raw extracted checkpoint keeps the boilerplate (invariant)
+        raw = {r["url"]: r["text"] for r in pipe.store.read("extracted").collect()}
+        assert all(self._NAV in t and self._FOOT in t for t in raw.values())
+        # the frequent-line table saw exactly the two planted lines
+        assert pipe.store.read("line_freq").count() == 2
+
+    def test_incremental_batch_cleaned_with_base_stats(self, spark, tmp_path):
+        import datetime
+
+        from datasketches_postgresql_spark.dedup.pipeline import (
+            DedupConfig,
+            DedupPipeline,
+        )
+
+        cfg = DedupConfig(line_dedup=True, line_dedup_min_docs=4)
+        pipe = DedupPipeline(spark, str(tmp_path / "ck2"), cfg)
+        pipe.run(self._pages(spark), resume=False)
+        # a 1-doc batch can never make a line frequent on its own — only the
+        # base snapshot's statistics can clean it
+        html = (
+            f"<div>{self._NAV}</div><p>brand new crawl body zz1 zz2 zz3</p>"
+        ).encode()
+        batch = spark.createDataFrame(
+            [("https://new.org/x", datetime.datetime(2026, 2, 1), bytearray(html), "", "en")],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        out = pipe.run_incremental(batch, batch_id="inc1", resume=False)
+        t = out["extracted"].where("url = 'https://new.org/x'").collect()[0]["text"]
+        assert self._NAV not in t
+        assert t.startswith("brand new crawl body")

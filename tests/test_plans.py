@@ -180,3 +180,39 @@ class TestPlanQuality:
         assert rs, "no parquet scan in plan"
         for col in ("minhash", "simhash", "chunk_hashes", "h", "hc", "shingle_theta"):
             assert all(not re.search(rf"[<,]{col}:", s) for s in rs), (col, rs)
+
+    def test_line_dedup_shuffles_hashes_not_line_text(self, spark, sf_dir):
+        """linededup contract: the line-frequency aggregation must shuffle
+        8-byte (line_hash, doc_id) pairs, never line text — at 10^12 lines
+        the hash/text ratio IS the stage cost. Line text may cross exactly
+        one exchange: the doc-keyed reassembly groupBy. The drop-join
+        against the (tiny) frequent-line table must broadcast."""
+        from datasketches_postgresql_spark.plans.explain import (
+            assert_column_pruned,
+            formatted_plan,
+            has_broadcast_join,
+        )
+        from datasketches_postgresql_spark.textops.linededup import (
+            dedup_lines,
+            frequent_lines,
+        )
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        freq = frequent_lines(d)
+        assert_column_pruned(freq, "url")
+        assert_column_pruned(freq, "lang")
+        fp = freq._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(line_hash" in fp, fp
+        # every aggregate in the frequency subplan carries only
+        # line_hash/doc_id ("line#N" is the raw text attribute; note
+        # "line_hash#N" does NOT contain the substring "line#")
+        for ln in fp.splitlines():
+            if "HashAggregate" in ln or "Exchange hashpartitioning" in ln:
+                assert "line#" not in ln, ln
+
+        out = dedup_lines(d)
+        assert has_broadcast_join(out), formatted_plan(out)
+        op = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in op and "NestedLoop" not in op
+        # reassembly: the only doc-keyed exchange is the final groupBy
+        assert op.count("hashpartitioning(doc_id") == 1, op

@@ -400,3 +400,43 @@ class TestLineDedupTier:
         t = out["extracted"].where("url = 'https://new.org/x'").collect()[0]["text"]
         assert self._NAV not in t
         assert t.startswith("brand new crawl body")
+
+
+class TestPyfilesArtifact:
+    def test_zip_is_importable_and_reproducible(self, tmp_path):
+        """tools/make_pyfiles.py output must be a self-contained importable
+        package (the spark-submit --py-files contract) with a reproducible
+        hash for a given tree."""
+        import hashlib
+        import subprocess
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        try:
+            from make_pyfiles import build
+        finally:
+            sys.path.pop(0)
+        z1, z2 = str(tmp_path / "a.zip"), str(tmp_path / "b.zip")
+        members = build(z1)
+        build(z2)
+        assert any(m.endswith("dedup/pipeline.py") for m in members)
+        assert (
+            hashlib.sha256(open(z1, "rb").read()).hexdigest()
+            == hashlib.sha256(open(z2, "rb").read()).hexdigest()
+        )
+        # import from the zip alone, in a clean interpreter
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                f"import sys; sys.path.insert(0, {z1!r}); "
+                "from datasketches_postgresql_spark.textops.linededup import dedup_lines; "
+                "from datasketches_postgresql_spark.dedup.pipeline import DedupConfig; "
+                "print('ok')",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=120,
+            env={"PATH": "/usr/bin:/bin"},
+        )
+        assert r.returncode == 0 and r.stdout.strip() == "ok", r.stderr

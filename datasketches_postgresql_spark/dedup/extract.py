@@ -57,28 +57,38 @@ EXTRACTED_SCHEMA = StructType(
 
 
 # block-level elements end a visual line; used by the opt-in line-dedup
-# cleaning tier to recover line structure the whitespace collapse erases
-_BLOCK_TAG_RE = re.compile(
-    r"(?is)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|td|th|section|article|"
-    r"header|footer|nav|blockquote|pre|form|dl|dt|dd|figure|aside|main)\b[^>]*>"
+# cleaning tier to recover line structure the whitespace collapse erases.
+# Tag BOUNDARIES must be decided by the exact same _TAG_RE scan as the
+# canonical path — a separate block-tag pre-pass can split a malformed
+# run like "<<div>" differently (canonical eats it as ONE tag; the
+# pre-pass matched the inner <div> and left a stray "<" behind, found by
+# the hypothesis fuzz) — so the block pass reuses _TAG_RE and only the
+# REPLACEMENT differs per match: newline for block tags, space otherwise.
+_BLOCK_NAME_RE = re.compile(
+    r"(?is)^</?(p|div|br|li|ul|ol|h[1-6]|tr|table|td|th|section|article|"
+    r"header|footer|nav|blockquote|pre|form|dl|dt|dd|figure|aside|main)\b"
 )
 _INLINE_WS_RE = re.compile(r"[^\S\n]+")  # any whitespace except newline
 _NL_RE = re.compile(r"[^\S\n]*\n\s*")  # newline + surrounding ws -> one \n
+
+
+def _tag_separator(m: "re.Match[str]") -> str:
+    return "\n" if _BLOCK_NAME_RE.match(m.group(0)) else " "
 
 
 def extract_block_series(html: pd.Series) -> pd.Series:
     """bytes -> extracted text with ONE newline between block elements.
 
     Identical to :func:`extract_text_series` except block-level tags become
-    newlines instead of spaces, so collapsing every whitespace run of the
-    result to a single space reproduces the canonical text byte-for-byte
-    (pinned by tests) — the pipeline derives BOTH the canonical ``extracted``
-    table and the line-structured ``blocks`` table from one html decode."""
+    newlines instead of spaces (same tag boundaries, different separator),
+    so collapsing every whitespace run of the result to a single space
+    reproduces the canonical text byte-for-byte (pinned by unit + property
+    tests) — the pipeline derives BOTH the canonical ``extracted`` table
+    and the line-structured ``blocks`` table from one html decode."""
     s = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
     s = s.str.replace(_SCRIPT_RE, " ", regex=True)
     s = s.str.replace(_COMMENT_RE, " ", regex=True)
-    s = s.str.replace(_BLOCK_TAG_RE, "\n", regex=True)
-    s = s.str.replace(_TAG_RE, " ", regex=True)
+    s = s.str.replace(_TAG_RE, _tag_separator, regex=True)
     for ent, rep in _ENTITIES:
         s = s.str.replace(ent, rep, regex=False)
     s = s.str.replace(_INLINE_WS_RE, " ", regex=True)

@@ -79,7 +79,10 @@ def q_theta_reaggregate(spark, sf_dir):
     theta_union_reaggregate + theta_intersection_reaggregate;
     sql/datasketches_theta_sketch.sql:147-163): users seen under ANY
     event_type vs users present in EVERY event_type."""
-    sk = TH.theta_sketch_build(_ev(spark, sf_dir), ["event_type"], "user_id")
+    # persist: the per-group sketch table (one small row per event_type)
+    # feeds BOTH aggregates — without it each branch re-runs the full
+    # events-scan sketch build
+    sk = TH.theta_sketch_build(_ev(spark, sf_dir), ["event_type"], "user_id").persist()
     union = TH.theta_sketch_union_agg(sk, [], "sketch").select(
         TH.theta_sketch_get_estimate("sketch").cast("bigint").alias("distinct_users")
     )
@@ -879,6 +882,11 @@ def q_url_canonical_dedup(spark, sf_dir):
         .when(did % 5 == 3, F.lit("#frag"))
         .otherwise(F.lit("")),
     )
+    # exercise the identity rule too: every 17th doc carries a scheme-less
+    # string that canonical_url must return verbatim (trimmed), not "://"
+    url = F.when(
+        did % 17 == 3, F.concat(F.lit("  not-a-url-"), (did % 40).cast("string"), F.lit(" "))
+    ).otherwise(url)
     return (
         d.select(did.alias("doc_id"), UO.canonical_url(url).alias("curl"))
         .groupBy("curl")
@@ -1397,19 +1405,26 @@ def oracle_sql() -> dict[str, str]:
                      CASE doc_id % 5 WHEN 0 THEN '/'
                           WHEN 1 THEN '?utm_source=x&b=2&a=1'
                           WHEN 2 THEN '?b=2&a=1#frag'
-                          WHEN 3 THEN '#frag' ELSE '' END AS url
+                          WHEN 3 THEN '#frag' ELSE '' END AS url0
               FROM documents),
-            pre AS (
-              SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM raw),
-            comp AS (
+            raw2 AS (
               SELECT doc_id,
+                     CASE WHEN doc_id % 17 = 3
+                          THEN '  not-a-url-' || CAST(doc_id % 40 AS VARCHAR) || ' '
+                          ELSE url0 END AS url
+              FROM raw),
+            pre AS (
+              SELECT doc_id, trim(url) AS u0,
+                     regexp_replace(trim(url), '#.*$', '') AS u FROM raw2),
+            comp AS (
+              SELECT doc_id, u0,
                      lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
                      lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
                      regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
                      regexp_extract(u, '\\?([^#]*)', 1) AS query
               FROM pre),
             norm AS (
-              SELECT doc_id, scheme,
+              SELECT doc_id, u0, scheme,
                      CASE WHEN scheme = 'http'
                           THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '')
                           WHEN scheme = 'https'
@@ -1420,10 +1435,13 @@ def oracle_sql() -> dict[str, str]:
                        x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=|$)'))) AS kept
               FROM comp),
             curls AS (
+              -- mirror of canonical_url's identity rule: no scheme:// means
+              -- not a URL we can canonicalize; keep the trimmed raw string
               SELECT doc_id,
-                     scheme || '://' || host || p ||
-                     CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
-                          ELSE '' END AS curl
+                     CASE WHEN scheme = '' THEN u0
+                          ELSE scheme || '://' || host || p ||
+                               CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+                                    ELSE '' END END AS curl
               FROM norm)
             SELECT curl, count(*) AS n_dups, min(doc_id) AS keeper_doc_id
             FROM curls GROUP BY curl ORDER BY curl

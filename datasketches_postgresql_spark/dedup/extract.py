@@ -33,16 +33,24 @@ _ENTITIES = [
 ]
 
 
-def extract_text_series(html: pd.Series) -> pd.Series:
-    """bytes -> canonical extracted text (vectorized pandas str ops)."""
+def _strip_html(html: pd.Series, tag_repl) -> pd.Series:
+    """The ONE decode/script/comment/tag/entity pipeline both extraction
+    flavors share — only what a _TAG_RE match becomes differs (space for
+    the canonical text, block-aware separator for the line-structured
+    text). Keeping a single copy is what makes the byte-identity between
+    the two flavors structural rather than hand-synchronized."""
     s = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
     s = s.str.replace(_SCRIPT_RE, " ", regex=True)
     s = s.str.replace(_COMMENT_RE, " ", regex=True)
-    s = s.str.replace(_TAG_RE, " ", regex=True)
+    s = s.str.replace(_TAG_RE, tag_repl, regex=True)
     for ent, rep in _ENTITIES:
         s = s.str.replace(ent, rep, regex=False)
-    s = s.str.replace(_WS_RE, " ", regex=True).str.strip()
     return s
+
+
+def extract_text_series(html: pd.Series) -> pd.Series:
+    """bytes -> canonical extracted text (vectorized pandas str ops)."""
+    return _strip_html(html, " ").str.replace(_WS_RE, " ", regex=True).str.strip()
 
 
 EXTRACTED_SCHEMA = StructType(
@@ -85,12 +93,7 @@ def extract_block_series(html: pd.Series) -> pd.Series:
     reproduces the canonical text byte-for-byte (pinned by unit + property
     tests) — the pipeline derives BOTH the canonical ``extracted`` table
     and the line-structured ``blocks`` table from one html decode."""
-    s = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
-    s = s.str.replace(_SCRIPT_RE, " ", regex=True)
-    s = s.str.replace(_COMMENT_RE, " ", regex=True)
-    s = s.str.replace(_TAG_RE, _tag_separator, regex=True)
-    for ent, rep in _ENTITIES:
-        s = s.str.replace(ent, rep, regex=False)
+    s = _strip_html(html, _tag_separator)
     s = s.str.replace(_INLINE_WS_RE, " ", regex=True)
     s = s.str.replace(_NL_RE, "\n", regex=True)
     return s.str.strip()

@@ -134,6 +134,11 @@ class DedupPipeline:
                 f"representative_policy must be 'url' or 'quality', "
                 f"got {self.config.representative_policy!r}"
             )
+        if self.config.line_dedup and self.config.line_dedup_min_docs < 2:
+            raise ValueError(
+                "line_dedup_min_docs must be >= 2: with 1 every non-blank "
+                "line is 'frequent' and the cleaning tier wipes all text"
+            )
         self.store = CheckpointStore(spark, checkpoint_dir)
         self._metrics: list[dict] = []
         self.stage_seconds: dict[str, float] = {}
@@ -291,6 +296,21 @@ class DedupPipeline:
         from ..textops.linededup import frequent_lines
 
         cfg = self.config
+        if not cfg.url_dedup:
+            # dedup_lines reassembles per doc_id; two input rows sharing a
+            # doc_id (exact-refetch of the same url) would interleave into
+            # one garbled document. url_dedup=True collapses refetches by
+            # construction; without it, fail loudly rather than garble.
+            # Cost: one 8-byte-key groupBy over the blocks checkpoint,
+            # once per base run.
+            dup = blocks.groupBy("doc_id").count().where("count > 1").limit(1).collect()
+            if dup:
+                raise ValueError(
+                    "line_dedup requires one row per doc_id but the crawl "
+                    "contains exact-refetches of the same url (duplicate "
+                    "doc_id %d); enable url_dedup=True to collapse them "
+                    "before cleaning" % dup[0]["doc_id"]
+                )
         freq = self._stage(
             "line_freq",
             lambda: frequent_lines(blocks, min_docs=cfg.line_dedup_min_docs),

@@ -73,6 +73,10 @@ def dedup_lines(
 ) -> DataFrame:
     """Remove corpus-frequent lines from every document.
 
+    Precondition: one input row per ``id_col`` value — reassembly groups
+    by it, so two rows sharing an id would interleave into one garbled
+    document (DedupPipeline guards this; direct callers must too).
+
     Returns one row per input document that had text:
     (doc_id, text_deduped, n_lines, n_dropped). Line order and blank
     lines are preserved; a document none of whose lines are frequent

@@ -408,10 +408,12 @@ class TestPyfilesArtifact:
         package (the spark-submit --py-files contract) with a reproducible
         hash for a given tree."""
         import hashlib
+        import os
         import subprocess
         import sys
 
-        sys.path.insert(0, "/root/repo/tools")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, os.path.join(repo, "tools"))
         try:
             from make_pyfiles import build
         finally:
@@ -438,5 +440,53 @@ class TestPyfilesArtifact:
             text=True,
             timeout=120,
             env={"PATH": "/usr/bin:/bin"},
+            # cwd must NOT be the repo root: python -c puts '' on sys.path,
+            # and a repo-root cwd would let a broken zip false-pass by
+            # resolving the package from the working tree instead
+            cwd=str(tmp_path),
         )
         assert r.returncode == 0 and r.stdout.strip() == "ok", r.stderr
+
+
+class TestLineDedupGuards:
+    def test_min_docs_below_2_rejected(self, spark, tmp_path):
+        import pytest as _pt
+
+        from datasketches_postgresql_spark.dedup.pipeline import (
+            DedupConfig,
+            DedupPipeline,
+        )
+
+        with _pt.raises(ValueError, match="line_dedup_min_docs"):
+            DedupPipeline(
+                spark, str(tmp_path / "ck"), DedupConfig(line_dedup=True, line_dedup_min_docs=1)
+            )
+
+    def test_duplicate_doc_id_rejected_without_url_dedup(self, spark, tmp_path):
+        import datetime
+
+        import pytest as _pt
+
+        from datasketches_postgresql_spark.dedup.pipeline import (
+            DedupConfig,
+            DedupPipeline,
+        )
+
+        html = b"<p>same url fetched twice</p>"
+        rows = [
+            ("https://dup.org/x", datetime.datetime(2026, 1, 1), bytearray(html), "", "en"),
+            ("https://dup.org/x", datetime.datetime(2026, 1, 2), bytearray(html), "", "en"),
+            ("https://uniq.org/y", datetime.datetime(2026, 1, 1), bytearray(html), "", "en"),
+        ]
+        pages = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        pipe = DedupPipeline(spark, str(tmp_path / "ck"), DedupConfig(line_dedup=True))
+        with _pt.raises(ValueError, match="url_dedup"):
+            pipe.run(pages, resume=False)
+        # with url_dedup on, refetches collapse and the same crawl runs fine
+        pipe2 = DedupPipeline(
+            spark, str(tmp_path / "ck2"), DedupConfig(line_dedup=True, url_dedup=True)
+        )
+        out = pipe2.run(pages, resume=False)
+        assert out["extracted"].count() == 2

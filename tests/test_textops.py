@@ -755,3 +755,48 @@ class TestLineDedup:
         row = dedup_lines(batch, freq=snap).collect()[0]
         assert row["text_deduped"] == "fresh crawl text"
         assert row["n_dropped"] == 1
+
+
+class TestHashSplit:
+    """Deterministic dataset splitting (textops/split.py)."""
+
+    def test_stable_across_partitioning_and_runs(self, spark, docs):
+        from datasketches_postgresql_spark.textops.split import hash_split
+
+        w = {"train": 0.8, "val": 0.1, "test": 0.1}
+        a = {r["doc_id"]: r["split"] for r in hash_split(docs, w).collect()}
+        b = {
+            r["doc_id"]: r["split"]
+            for r in hash_split(docs.repartition(13), w).collect()
+        }
+        assert a == b  # randomSplit fails exactly this property
+        # proportions roughly honored at 500 docs
+        from collections import Counter
+
+        c = Counter(a.values())
+        assert 0.7 <= c["train"] / len(a) <= 0.9
+        assert c["val"] > 0 and c["test"] > 0
+        # exhaustive and disjoint by construction: one split per doc
+        assert set(c) == {"train", "val", "test"}
+
+    def test_seed_reshuffles_and_weights_validate(self, spark, docs):
+        import pytest as _pt
+
+        from datasketches_postgresql_spark.textops.split import hash_split
+
+        w = {"train": 0.5, "val": 0.5}
+        a = {r["doc_id"]: r["split"] for r in hash_split(docs, w, seed=1).collect()}
+        b = {r["doc_id"]: r["split"] for r in hash_split(docs, w, seed=2).collect()}
+        assert a != b
+        with _pt.raises(ValueError, match="sum to 1"):
+            hash_split(docs, {"train": 0.5, "val": 0.1})
+        with _pt.raises(ValueError, match="> 0"):
+            hash_split(docs, {"train": 1.5, "val": -0.5})
+
+    def test_plan_is_pure_projection(self, spark, docs):
+        from datasketches_postgresql_spark.textops.split import hash_split
+
+        q = hash_split(docs.select("doc_id"), {"a": 0.5, "b": 0.5})
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # no shuffle: assignment is a projection
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -277,3 +277,33 @@ def streaming_lsh_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def line_dedup_foreach_batch(
+    freq: DataFrame,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+):
+    """foreachBatch adapter: clean each streaming micro-batch against a
+    STATIC boilerplate snapshot (``frequent_lines`` output, e.g. the batch
+    pipeline's ``line_freq`` checkpoint) and append the cleaned rows.
+
+    This is the streaming face of the incremental-crawl contract: line
+    frequency statistics come from the last full snapshot, never from the
+    stream (a micro-batch is far too small to define "frequent", and
+    recomputing frequencies per batch would make cleaning depend on
+    batch boundaries). foreachBatch is the idiomatic shape — inside it
+    the micro-batch is a plain DataFrame, so the same hash-keyed
+    broadcast drop-join the batch tier uses runs unchanged, with none of
+    streaming's aggregation-mode restrictions."""
+    from ..textops.linededup import dedup_lines
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        cleaned = dedup_lines(
+            batch_df, id_col=id_col, text_col=text_col, freq=freq, carry_cols=carry_cols
+        ).withColumn("batch_id", F.lit(batch_id))
+        cleaned.write.mode("append").parquet(out_path)
+
+    return fn

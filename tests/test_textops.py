@@ -800,3 +800,41 @@ class TestHashSplit:
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # no shuffle: assignment is a projection
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestStreamingLineDedup:
+    def test_stream_cleaned_against_static_snapshot(self, spark, tmp_path):
+        """A crawl stream cleaned with foreachBatch against a static
+        frequent-line snapshot: boilerplate lines vanish from every
+        micro-batch even though no single batch could see them as
+        frequent."""
+        from datasketches_postgresql_spark.streaming.stream import (
+            line_dedup_foreach_batch,
+        )
+        from datasketches_postgresql_spark.textops.linededup import frequent_lines
+
+        boiler = "Accept cookies to continue"
+        snapshot = spark.createDataFrame(
+            [(i, f"{boiler}\nsnapshot doc {i}") for i in range(5)],
+            "doc_id long, text string",
+        )
+        freq = frequent_lines(snapshot, min_docs=4)
+
+        src, out = str(tmp_path / "src"), str(tmp_path / "out")
+        spark.createDataFrame(
+            [(100, f"{boiler}\nstreamed body one"), (101, "no boilerplate at all")],
+            "doc_id long, text string",
+        ).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(line_dedup_foreach_batch(freq, out))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+        assert got[100]["text_deduped"] == "streamed body one"
+        assert got[100]["n_dropped"] == 1
+        assert got[101]["text_deduped"] == "no boilerplate at all"
+        assert got[101]["n_dropped"] == 0

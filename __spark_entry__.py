@@ -220,24 +220,6 @@ def q_kll_rank_median_minmax(spark, sf_dir):
     return dbl.join(flt, "event_type")
 
 
-def q_kll_pmf_cdf(spark, sf_dir):
-    """kll_sketch_get_pmf + get_cdf over the same splits in one gate (merged
-    round-2 kll_pmf + kll_cdf); bin i carries its mass and the cumulative
-    rank at its upper split."""
-    sk = KLL.kll_double_sketch_build(_ev(spark, sf_dir), [], "value", k=_KLL_EXACT_K)
-    pmf = KLL.kll_sketch_get_pmf(F.col("sketch"), [50.0, 100.0, 150.0])
-    cdf = KLL.kll_sketch_get_cdf(F.col("sketch"), [50.0, 100.0, 150.0])
-    return (
-        sk.select(pmf.alias("p"), cdf.alias("c"))
-        .select(F.posexplode("p").alias("bin", "mass"), F.col("c"))
-        .select(
-            "bin",
-            F.round("mass", 6).alias("mass"),
-            F.round(F.element_at("c", F.col("bin") + 1), 6).alias("cum"),
-        )
-    )
-
-
 def q_kll_merge_median(spark, sf_dir):
     per_type = KLL.kll_double_sketch_build(
         _ev(spark, sf_dir), ["event_type"], "value", k=_KLL_EXACT_K
@@ -281,14 +263,16 @@ def q_quantiles_double_family(spark, sf_dir):
     )
 
 
-def q_kll_quantiles_histogram(spark, sf_dir):
-    """kll_sketch_get_quantiles (multi-rank, sql/..kll..:141-143) +
-    kll_sketch_get_histogram (equal-width bins, masses scaled to counts,
-    src/kll_float_sketch_pg_functions.c:425-470; splits :452-458,
-    scale=true :459) in one gate (merged round-3 kll_quantiles +
-    kll_histogram to free a driver slot). Exact regime for both. Rows are
-    tagged (item, v): 'q:<event_type>:<ri>' quantile rows, 'h:<bin>'
-    histogram rows."""
+def q_kll_distributions(spark, sf_dir):
+    """Every KLL distribution-shape read in one gate: kll_sketch_get_quantiles
+    (multi-rank, sql/..kll..:141-143), kll_sketch_get_histogram (equal-width
+    bins, masses scaled to counts, src/kll_float_sketch_pg_functions.c:425-470;
+    splits :452-458, scale=true :459), kll_sketch_get_pmf + get_cdf over the
+    same splits (sql:129-139). Merged round-3: kll_quantiles + kll_histogram,
+    then kll_pmf_cdf folded in to free a driver slot for text_semdedup. Exact
+    regime for all. Rows are tagged (item, v): 'q:<event_type>:<ri>' quantile
+    rows, 'h:<bin>' histogram rows, 'p:<bin>' pmf masses, 'c:<bin>' cumulative
+    ranks at each bin's upper split."""
     ev = _ev(spark, sf_dir)
     skq = KLL.kll_double_sketch_build(ev, ["event_type"], "value", k=_KLL_EXACT_K)
     qs = KLL.kll_sketch_get_quantiles(F.col("sketch"), [0.25, 0.5, 0.75])
@@ -304,7 +288,27 @@ def q_kll_quantiles_histogram(spark, sf_dir):
         F.concat_ws(":", F.lit("h"), F.col("bin").cast("string")).alias("item"),
         F.round("cnt", 3).alias("v"),
     )
-    return quant.unionByName(hist).orderBy("item")
+    pmf = KLL.kll_sketch_get_pmf(F.col("sketch"), [50.0, 100.0, 150.0])
+    cdf = KLL.kll_sketch_get_cdf(F.col("sketch"), [50.0, 100.0, 150.0])
+    pc = (
+        skh.select(pmf.alias("p"), cdf.alias("c"))
+        .select(F.posexplode("p").alias("bin", "mass"), F.col("c"))
+        .select(
+            "bin",
+            F.round("mass", 6).alias("mass"),
+            F.round(F.element_at("c", F.col("bin") + 1), 6).alias("cum"),
+        )
+    )
+    pmfcdf = pc.select(
+        F.concat_ws(":", F.lit("p"), F.col("bin").cast("string")).alias("item"),
+        F.col("mass").alias("v"),
+    ).unionByName(
+        pc.select(
+            F.concat_ws(":", F.lit("c"), F.col("bin").cast("string")).alias("item"),
+            F.col("cum").alias("v"),
+        )
+    )
+    return quant.unionByName(hist).unionByName(pmfcdf).orderBy("item")
 
 
 def q_text_line_dedup(spark, sf_dir):
@@ -736,6 +740,44 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return pairs.select("a", "b", F.round("cos", 4).alias("cos"))
 
 
+def q_text_semdedup(spark, sf_dir):
+    """SemDeDup (textops/semdedup.py, Abbas et al. 2023): semantic dedup via
+    k-means clustering + within-cluster cosine groups + keep-the-outlier.
+    Constant-true gate (webdedup_incremental pattern — clustering is not
+    SQL-expressible): every embedding gets an EXACT copy planted at
+    vec_id + 10000; identical vectors must land in the same cluster, each
+    (orig, copy) pair must share a duplicate group (cos = 1.0 edge), every
+    group keeps exactly ONE member, and the deterministic tie-break (equal
+    centroid-cosine -> lower id) must keep the ORIGINAL — so kept_copies is
+    0 and pairs_same_group equals count(*) of embeddings."""
+    from datasketches_postgresql_spark.textops import semdedup as SD
+
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    both = e.unionByName(
+        e.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    dec = SD.semdedup(
+        both, "vec_id", "embedding", 64,
+        n_clusters=10, threshold=0.995, seed=17, max_cluster=0,
+    ).cache()
+    orig = dec.where("id < 10000")
+    cop = dec.where("id >= 10000")
+    pairs = (
+        orig.select(F.col("id").alias("o"), F.col("group_id").alias("g1"))
+        .join(cop.select((F.col("id") - 10000).alias("o"), F.col("group_id").alias("g2")), "o")
+        .agg(F.sum((F.col("g1") == F.col("g2")).cast("long")).alias("pairs_same_group"))
+    )
+    keeps = (
+        dec.groupBy("group_id")
+        .agg(F.sum(F.col("keep").cast("int")).cast("int").alias("k"))
+        .agg(F.max("k").alias("max_kept"), F.min("k").alias("min_kept"))
+    )
+    kc = cop.agg(F.sum(F.col("keep").cast("int")).cast("int").alias("kept_copies"))
+    return pairs.crossJoin(keeps).crossJoin(kc)
+
+
 def q_ann_topk(spark, sf_dir):
     e = _embs(spark, sf_dir)
     qs = e.where("vec_id < 5")
@@ -1056,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "text_semdedup": q_text_semdedup,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "text_tokens_quality": q_text_tokens_quality,
@@ -1075,9 +1118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_tgt4_distinct": q_hll_tgt4_distinct,
         "cpc_distinct_users": q_cpc_distinct_users,
         "kll_rank_median_minmax": q_kll_rank_median_minmax,
-        "kll_pmf_cdf": q_kll_pmf_cdf,
         "kll_merge_median": q_kll_merge_median,
-        "kll_quantiles_histogram": q_kll_quantiles_histogram,
+        "kll_distributions": q_kll_distributions,
         "kll_wire_roundtrip": q_kll_wire_roundtrip,
         "req_rank_inclusive": q_req_rank_inclusive,
         "req_tail_accuracy": q_req_tail_accuracy,
@@ -1235,24 +1277,6 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN rn > n * 0.5 THEN value END) AS med
             FROM r GROUP BY event_type ORDER BY event_type
         """,
-        "kll_pmf_cdf": """
-            WITH t AS (SELECT count(*) * 1.0 AS n FROM events)
-            SELECT 0 AS bin,
-                   round((SELECT count(*) FROM events WHERE value < 50) / n, 6) AS mass,
-                   round((SELECT count(*) FROM events WHERE value < 50) / n, 6) AS cum FROM t
-            UNION ALL
-            SELECT 1,
-                   round((SELECT count(*) FROM events WHERE value >= 50 AND value < 100) / n, 6),
-                   round((SELECT count(*) FROM events WHERE value < 100) / n, 6) FROM t
-            UNION ALL
-            SELECT 2,
-                   round((SELECT count(*) FROM events WHERE value >= 100 AND value < 150) / n, 6),
-                   round((SELECT count(*) FROM events WHERE value < 150) / n, 6) FROM t
-            UNION ALL
-            SELECT 3,
-                   round((SELECT count(*) FROM events WHERE value >= 150) / n, 6),
-                   1.0 FROM t
-        """,
         "kll_merge_median": """
             WITH r AS (
               SELECT value,
@@ -1262,8 +1286,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(value) AS med, (SELECT count(*) FROM events) AS n
             FROM r WHERE rn > n * 0.5
         """,
-        "kll_quantiles_histogram": """
-            WITH r AS (
+        "kll_distributions": """
+            WITH pmfcdf AS (
+              WITH t AS (SELECT count(*) * 1.0 AS n FROM events)
+              SELECT 0 AS bin,
+                     round((SELECT count(*) FROM events WHERE value < 50) / n, 6) AS mass,
+                     round((SELECT count(*) FROM events WHERE value < 50) / n, 6) AS cum FROM t
+              UNION ALL
+              SELECT 1,
+                     round((SELECT count(*) FROM events WHERE value >= 50 AND value < 100) / n, 6),
+                     round((SELECT count(*) FROM events WHERE value < 100) / n, 6) FROM t
+              UNION ALL
+              SELECT 2,
+                     round((SELECT count(*) FROM events WHERE value >= 100 AND value < 150) / n, 6),
+                     round((SELECT count(*) FROM events WHERE value < 150) / n, 6) FROM t
+              UNION ALL
+              SELECT 3,
+                     round((SELECT count(*) FROM events WHERE value >= 150) / n, 6),
+                     1.0 FROM t
+            ),
+            r AS (
               SELECT event_type, value,
                      row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
                      count(*) OVER (PARTITION BY event_type) AS n
@@ -1288,6 +1330,8 @@ def oracle_sql() -> dict[str, str]:
               FROM binned GROUP BY bin)
             SELECT item, v FROM quant
             UNION ALL SELECT item, v FROM hist
+            UNION ALL SELECT 'p:' || bin AS item, mass AS v FROM pmfcdf
+            UNION ALL SELECT 'c:' || bin AS item, cum AS v FROM pmfcdf
             ORDER BY item
         """,
         "text_decontaminate": """
@@ -1555,6 +1599,10 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.e, b.e), 4) AS cos
             FROM v a JOIN v b ON a.id < b.id
             WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.2
+        """,
+        "text_semdedup": """
+            SELECT (SELECT count(*) FROM embeddings) AS pairs_same_group,
+                   1 AS max_kept, 1 AS min_kept, 0 AS kept_copies
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

@@ -141,10 +141,13 @@ def ivf_train_centroids(
     standard IVF shape — at any corpus scale the coarse quantizer trains on
     a sample, never the full data; only the ASSIGNMENT pass (distributed,
     one matmul per Arrow batch) touches every row. Deterministic given the
-    same collected sample (fixed seed + iteration count); ``limit`` takes
-    Spark's first rows, so bit-reproducible training across cluster layouts
-    needs a stable input order (e.g. a sorted/bucketed source) — the
-    SEARCH results for a FIXED centroid set are always deterministic."""
+    same collected sample SET (fixed seed + iteration count + a canonical
+    lexsort of the sample, so the arrival ORDER — which varies with
+    partition layout — cannot change the result); ``limit`` takes Spark's
+    first rows, so bit-reproducible training across cluster layouts still
+    needs the sample SET itself to be stable (whole-corpus when
+    n <= max_train, else a sorted/bucketed source) — the SEARCH results
+    for a FIXED centroid set are always deterministic."""
     rows = (
         corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
         .limit(max_train)
@@ -153,6 +156,8 @@ def ivf_train_centroids(
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1)
     x = x[norms > 0] / norms[norms > 0, None]
+    if x.shape[0]:
+        x = x[np.lexsort(x.T[::-1])]  # canonical row order: layout-invariant
     n = x.shape[0]
     k = min(n_cells, max(1, n))
     rng = np.random.default_rng(seed)

@@ -1045,10 +1045,17 @@ def q_webdedup_incremental(spark, sf_dir):
     bucket = F.pmod(F.xxhash64("url"), F.lit(3))
     base, inc = pages.where(bucket <= 1), pages.where(bucket == 2)
     cfg = DedupConfig()
+    # the incremental side runs WITH the Bloom membership prefilter
+    # (dedup/bloom.py): no false negatives means pruning definitely-new
+    # band hashes from the touched set cannot change results, so matching
+    # the plain full run gates the Bloom tier too
+    cfg_inc = DedupConfig(
+        bloom_prefilter=True, bloom_buckets=32, bloom_slice_bits=1 << 16
+    )
     d_full, d_inc = tempfile.mkdtemp(), tempfile.mkdtemp()
     try:
         full = DedupPipeline(spark, d_full, cfg).run(pages, resume=False)
-        pipe = DedupPipeline(spark, d_inc, cfg)
+        pipe = DedupPipeline(spark, d_inc, cfg_inc)
         pipe.run(base, resume=False)
         out = pipe.run_incremental(inc, batch_id="b1")
         cf = {(r["doc_id"], r["cluster_id"]) for r in full["clusters"].collect()}

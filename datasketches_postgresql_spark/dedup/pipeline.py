@@ -119,6 +119,25 @@ class DedupConfig:
     line_dedup: bool = False
     line_dedup_min_docs: int = 4
     lineage_lg_k: int = 12
+    # Bloom membership prefilter for batch-append dedup (dedup/bloom.py):
+    # the base run (and each increment) checkpoints a partitioned,
+    # OR-mergeable Bloom filter over its banded signature hashes;
+    # run_incremental probes the new batch's band hashes against the
+    # accumulated filters and keeps only Bloom-POSITIVE hashes in the
+    # ``touched`` set that fetches old rows. A definitely-new hash (Bloom
+    # has no false negatives) cannot match any base row, so the candidate
+    # edges are EXACTLY the unfiltered run's (tested); false positives only
+    # leave a hash in ``touched`` that matches nothing. At web scale most
+    # of an increment's hashes ARE new, so ``touched`` shrinks from
+    # O(batch bands) to the actually-overlapping tail — on Iceberg that set
+    # drives the base bucket fetch, so the prefilter cuts the semi-join
+    # build side AND the old-corpus scan. Off by default: it adds one
+    # checkpoint + probe job that only pays off once increments run.
+    bloom_prefilter: bool = False
+    bloom_buckets: int = 256
+    # bits per bucket slice; size for ~10 bits per expected key/bucket
+    # (~1% fpp at the k=7 default) — 2^20 bits = 128 KiB/slice
+    bloom_slice_bits: int = 1 << 20
 
     def config_hash(self) -> str:
         blob = json.dumps(dataclasses.asdict(self), sort_keys=True).encode()
@@ -364,6 +383,8 @@ class DedupPipeline:
         )
         self._lineage_pass(signatures)
         self._metric("signatures", "rows", self._rows("signatures"))
+        if cfg.bloom_prefilter:
+            self._band_bloom_stage("band_bloom", signatures, resume)
 
         candidates = self._stage(
             "candidates",
@@ -497,6 +518,8 @@ class DedupPipeline:
         base_stages = ["extracted", "signatures"]
         if cfg.line_dedup:
             base_stages += ["line_freq", "cleaned"]
+        if cfg.bloom_prefilter:
+            base_stages += ["band_bloom"]
         for st in base_stages:
             if not self.store.completed(st, h):
                 raise ValueError(
@@ -561,10 +584,27 @@ class DedupPipeline:
         )
         self._lineage_pass(sig_new, prefix=f"{batch_id}_")
         self._metric(f"signatures_{batch_id}", "rows", self._rows(f"signatures_{batch_id}"))
+        if cfg.bloom_prefilter:
+            # this batch's own filter slice — future increments probe it
+            self._band_bloom_stage(f"band_bloom_{batch_id}", sig_new, resume)
 
         def _cand() -> DataFrame:
             bh_new = band_hashes(sig_new, cfg.bands, cfg.rows)
             touched = bh_new.select("band_hash").distinct()
+            if cfg.bloom_prefilter:
+                # membership prefilter: keep only hashes that COULD exist in
+                # the accumulated corpus (no false negatives -> identical
+                # candidates, tested); definitely-new hashes skip the base
+                from .bloom import bloom_maybe_contains
+
+                filt = self._base_union("band_bloom", prior)
+                touched = (
+                    bloom_maybe_contains(
+                        touched, "band_hash", filt, n_buckets=cfg.bloom_buckets
+                    )
+                    .where("maybe_member")
+                    .select("band_hash")
+                )
             bh_old = band_hashes(old_sigs, cfg.bands, cfg.rows).join(
                 touched, "band_hash", "left_semi"
             )
@@ -700,6 +740,25 @@ class DedupPipeline:
             "resolved": resolved,
             "metrics": metrics,
         }
+
+    def _band_bloom_stage(self, name: str, signatures: DataFrame, resume: bool) -> DataFrame:
+        """Checkpoint the partitioned Bloom filter over this table's banded
+        hashes (one slice row per populated bucket) — the membership index
+        later increments probe before touching this corpus slice."""
+        from .bloom import bloom_build
+        from .lsh import band_hashes
+
+        cfg = self.config
+        return self._stage(
+            name,
+            lambda: bloom_build(
+                band_hashes(signatures, cfg.bands, cfg.rows).select("band_hash"),
+                "band_hash",
+                n_buckets=cfg.bloom_buckets,
+                bits_per_slice=cfg.bloom_slice_bits,
+            ),
+            resume,
+        )
 
     def _base_for(self, batch_id: str) -> tuple[str, list[str]]:
         """(base suffix, prior batch ids) for an increment. The manifest

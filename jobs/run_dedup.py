@@ -58,6 +58,10 @@ def main() -> None:
                     help="drop lines appearing in >= MIN_DOCS distinct docs "
                          "(default 4 when flag given) before shingling; the "
                          "raw extracted checkpoint is kept unmodified")
+    ap.add_argument("--bloom-prefilter", action="store_true",
+                    help="checkpoint a mergeable Bloom filter over banded "
+                         "hashes; incremental batches probe it so "
+                         "definitely-new hashes skip the base corpus")
     args = ap.parse_args()
 
     from datasketches_postgresql_spark.dedup.pipeline import DedupConfig, DedupPipeline
@@ -81,6 +85,7 @@ def main() -> None:
         url_dedup=args.url_dedup,
         line_dedup=bool(args.line_dedup),
         line_dedup_min_docs=args.line_dedup or 4,
+        bloom_prefilter=args.bloom_prefilter,
     )
     pipe = DedupPipeline(spark, args.checkpoint, cfg)
     if args.incremental_batch:

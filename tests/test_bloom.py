@@ -1,0 +1,112 @@
+"""Partitioned Bloom filter (dedup/bloom.py): no false negatives ever,
+fp rate near theory, OR-merge == build-on-union bit-for-bit, and results
+independent of input partition layout."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_postgresql_spark.dedup import bloom as B
+
+N_BUCKETS = 16
+SLICE_BITS = 1 << 14  # 16384 bits/slice; 2000 keys over 16 buckets -> m/n ~ 131
+
+
+def _keys_df(spark, lo, hi, parts=4):
+    return spark.range(lo, hi, 1, parts).select(
+        F.xxhash64(F.col("id"), F.lit(99)).alias("key")
+    )
+
+
+@pytest.fixture(scope="module")
+def filt(spark):
+    df = B.bloom_build(
+        _keys_df(spark, 0, 2000), "key", n_buckets=N_BUCKETS, bits_per_slice=SLICE_BITS
+    )
+    return df.cache()
+
+
+class TestBloom:
+    def test_no_false_negatives(self, spark, filt):
+        probed = B.bloom_maybe_contains(
+            _keys_df(spark, 0, 2000), "key", filt, n_buckets=N_BUCKETS
+        )
+        assert probed.where("NOT maybe_member").count() == 0
+
+    def test_fp_rate_near_theory(self, spark, filt):
+        fresh = _keys_df(spark, 100_000, 104_000)
+        probed = B.bloom_maybe_contains(fresh, "key", filt, n_buckets=N_BUCKETS)
+        fp = probed.where("maybe_member").count() / 4000
+        n_per = 2000 / N_BUCKETS
+        theory = (1 - math.exp(-7 * n_per / SLICE_BITS)) ** 7
+        assert fp <= max(3 * theory, 0.01), (fp, theory)
+
+    def test_build_is_layout_invariant(self, spark):
+        a = B.bloom_build(
+            _keys_df(spark, 0, 500, parts=1), "key",
+            n_buckets=N_BUCKETS, bits_per_slice=SLICE_BITS,
+        ).collect()
+        b = B.bloom_build(
+            _keys_df(spark, 0, 500, parts=7).repartition(3), "key",
+            n_buckets=N_BUCKETS, bits_per_slice=SLICE_BITS,
+        ).collect()
+        sa = sorted((r["bucket"], bytes(r["bits"]), r["n_keys"]) for r in a)
+        sb = sorted((r["bucket"], bytes(r["bits"]), r["n_keys"]) for r in b)
+        assert sa == sb
+
+    def test_merge_equals_union_build(self, spark):
+        kw = dict(n_buckets=N_BUCKETS, bits_per_slice=SLICE_BITS)
+        f1 = B.bloom_build(_keys_df(spark, 0, 800), "key", **kw)
+        f2 = B.bloom_build(_keys_df(spark, 600, 1500), "key", **kw)
+        merged = {
+            r["bucket"]: bytes(r["bits"]) for r in B.bloom_merge(f1, f2).collect()
+        }
+        union = {
+            r["bucket"]: bytes(r["bits"])
+            for r in B.bloom_build(_keys_df(spark, 0, 1500), "key", **kw).collect()
+        }
+        assert merged == union
+
+    def test_merge_rejects_width_mismatch(self, spark):
+        f1 = B.bloom_build(_keys_df(spark, 0, 100), "key", n_buckets=4, bits_per_slice=1 << 10)
+        f2 = B.bloom_build(_keys_df(spark, 0, 100), "key", n_buckets=4, bits_per_slice=1 << 11)
+        with pytest.raises(Exception, match="bits_per_slice"):
+            B.bloom_merge(f1, f2).collect()
+
+    def test_probe_matches_reference_bit_math(self, spark, filt):
+        """Cogrouped probe == straight numpy reference on the collected
+        slices (same positions, same bits)."""
+        rows = {r["bucket"]: np.frombuffer(r["bits"], np.uint8) for r in filt.collect()}
+        probes = _keys_df(spark, 1990, 2020).collect()
+        got = {
+            r["key"]: r["maybe_member"]
+            for r in B.bloom_maybe_contains(
+                _keys_df(spark, 1990, 2020), "key", filt, n_buckets=N_BUCKETS
+            ).collect()
+        }
+        import pandas as pd  # noqa: F401
+
+        for r in probes:
+            k = np.array([r["key"]], dtype=np.int64).view(np.uint64)
+            bkt = int(
+                spark.range(1).select(
+                    F.pmod(F.xxhash64(F.lit(r["key"]).cast("long"), F.lit(3)), F.lit(N_BUCKETS))
+                ).collect()[0][0]
+            )
+            if bkt not in rows:
+                expect = False
+            else:
+                expect = bool(B._test(rows[bkt], k, SLICE_BITS, 7)[0])
+            assert got[r["key"]] == expect
+
+    def test_absent_bucket_is_definitely_new(self, spark):
+        kw = dict(n_buckets=64, bits_per_slice=1 << 10)
+        tiny = B.bloom_build(_keys_df(spark, 0, 3), "key", **kw)
+        probed = B.bloom_maybe_contains(
+            _keys_df(spark, 50, 250), "key", tiny, n_buckets=64
+        )
+        # 200 fresh keys over 64 buckets, only <=3 buckets populated:
+        # the vast majority must come back definitely-new
+        assert probed.where("NOT maybe_member").count() >= 150

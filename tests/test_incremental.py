@@ -147,3 +147,52 @@ def _dummy_pages(spark):
         [],
         "url string, warc_ts timestamp, html binary, text string, lang string",
     )
+
+
+class TestBloomPrefilter:
+    """bloom_prefilter=True must change PLANS, never RESULTS: Bloom has no
+    false negatives, so pruning definitely-new band hashes from the
+    ``touched`` set keeps the candidate edges — and therefore clusters and
+    resolved — exactly equal to the unfiltered increment's."""
+
+    @pytest.fixture(scope="class")
+    def bloom_inc_run(self, spark, split_corpus, tmp_path_factory):
+        _, base, b1, b2, _ = split_corpus
+        ckpt = str(tmp_path_factory.mktemp("ckpt_bloom"))
+        cfg = DedupConfig(bloom_prefilter=True, bloom_buckets=32,
+                          bloom_slice_bits=1 << 16)
+        pipe = DedupPipeline(spark, ckpt, cfg)
+        pipe.run(base, resume=False)
+        pipe.run_incremental(b1, batch_id="b1")
+        out2 = pipe.run_incremental(b2, batch_id="b2")
+        return ckpt, pipe, out2
+
+    def test_matches_full_run_exactly(self, full_run, bloom_inc_run):
+        _, _, out2 = bloom_inc_run
+        assert _clusters_set(out2["clusters"]) == _clusters_set(full_run["clusters"])
+        assert _resolved_set(out2["resolved"]) == _resolved_set(full_run["resolved"])
+
+    def test_bloom_checkpoints_exist_per_batch(self, bloom_inc_run):
+        _, pipe, _ = bloom_inc_run
+        h = pipe.config.config_hash()
+        for st in ("band_bloom", "band_bloom_b1", "band_bloom_b2"):
+            assert pipe.store.completed(st, h), st
+
+    def test_prefilter_actually_prunes(self, spark, split_corpus, bloom_inc_run):
+        """The probe must mark a real fraction of b2's band hashes
+        definitely-new (the whole point); planted cross-batch dups keep
+        some positives too."""
+        from datasketches_postgresql_spark.dedup.bloom import bloom_maybe_contains
+        from datasketches_postgresql_spark.dedup.lsh import band_hashes
+
+        _, pipe, _ = bloom_inc_run
+        cfg = pipe.config
+        sig_b2 = pipe.store.read("signatures_b2")
+        touched = band_hashes(sig_b2, cfg.bands, cfg.rows).select("band_hash").distinct()
+        filt = pipe.store.read("band_bloom").unionByName(pipe.store.read("band_bloom_b1"))
+        probed = bloom_maybe_contains(
+            touched, "band_hash", filt, n_buckets=cfg.bloom_buckets
+        )
+        n = probed.count()
+        pos = probed.where("maybe_member").count()
+        assert 0 < pos < n

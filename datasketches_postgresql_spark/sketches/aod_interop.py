@@ -22,8 +22,11 @@ SerializerDeserializer, Apache-2.0), little-endian:
     bytes 8-15: theta (u64; Long.MAX_VALUE = 2^63-1 when exact)
     if has-entries:
       bytes 16-19: retained count (u32)
-      retained x u64   keys (63-bit murmur3 hashes; this writer emits them
-                       sorted — readers accept any order)
+      bytes 20-23: unused (the count pads to an 8-byte boundary so the
+                   key longs start aligned at offset 24 — confirmed
+                   byte-for-byte against datasketches-java 6.2.0)
+      retained x u64   keys at offset 24 (63-bit murmur3 hashes; this
+                       writer emits them sorted — readers accept any order)
       retained x num_values x f64 values, row-major
 
 Hash space: identical to compact theta — murmur3_x64_128(key, seed).h1 >> 1,
@@ -33,9 +36,10 @@ the full u64 space; the same x2 embedding as sketches.interop bridges them
 identically. Export requires a murmur-built or imported sketch (every
 internal key even); exporting an xxhash64-built sketch raises.
 
-No datasketches library exists in this environment, so ground truth is
-structural (the documented layout above) plus lossless round-trip — the
-same validation standard as the theta/KLL/FI interop modules.
+Ground truth: datasketches-java 6.2.0 rides in Spark's own jars — images
+this module emits heapify in that library and library images parse here
+(tests/test_jvm_groundtruth.py), on top of the structural/round-trip
+checks shared with the theta/KLL/FI interop modules.
 """
 
 from __future__ import annotations
@@ -92,7 +96,7 @@ def serialize_compact(sketch: bytes, seed: int = DEFAULT_SEED) -> bytes:
     )
     if n == 0:
         return head
-    return head + struct.pack("<I", n) + ds_keys.tobytes() + vals.tobytes()
+    return head + struct.pack("<Ixxxx", n) + ds_keys.tobytes() + vals.tobytes()
 
 
 def deserialize_compact(image: bytes, seed: int = DEFAULT_SEED,
@@ -126,9 +130,9 @@ def deserialize_compact(image: bytes, seed: int = DEFAULT_SEED,
             "seed hash mismatch: image was built with a different update seed"
         )
     (n,) = struct.unpack_from("<I", image, 16)
-    keys = np.frombuffer(image, dtype=_U64, count=n, offset=20)
+    keys = np.frombuffer(image, dtype=_U64, count=n, offset=24)
     vals = np.frombuffer(
-        image, dtype=_F64, count=n * num_values, offset=20 + 8 * n
+        image, dtype=_F64, count=n * num_values, offset=24 + 8 * n
     ).reshape(n, num_values)
     order = np.argsort(keys)
     internal_keys = (keys[order].astype(np.uint64) << np.uint64(1))

@@ -16,25 +16,24 @@ binary layout). This module reconstructs that publicly documented layout
               bit5 LEVEL_ZERO_SORTED — two reserved low bits, the theta-
               style convention)
     bytes 4-5: k (u16)
-    byte 6:   num levels (0 when empty)
+    byte 6:   num compactors (0 when empty)
     byte 7:   num raw items (RAW_ITEMS form only)
   ESTIMATION form (>1 level) appends: [u64 n][f32 min][f32 max]
-  then one record per compactor, bottom level first:
+  then one 20-byte record per compactor, bottom level first:
     [u64 state (compaction counter)][f32 section_size_raw]
-    [u8 num_sections][u8 unused][u32 item count][count x f32 items,
-    each level ascending]
-  EXACT form (1 level): header + the single compactor record; n/min/max
-  derive from the items. RAW_ITEMS (read support only; this writer emits
-  tiny sketches in the EXACT form, which readers equally accept): header +
-  num_raw_items x f32.
+    [u8 lg_weight][u8 num_sections][u16 pad][u32 item count]
+    [count x f32 items, each level ascending]
+  EXACT form (1 compactor): header + the single compactor record;
+  n/min/max derive from the items. RAW_ITEMS (read support only; this
+  writer emits tiny sketches in the EXACT form, which readers equally
+  accept): header + num_raw_items x f32.
 
-VALIDATION HONESTY: no datasketches library exists in this environment, so
-— as with the theta/KLL/FI/AOD interop modules — ground truth here is
-structural (the layout above, reconstructed from the public Apache-2.0
-sources) plus lossless round-trip. The compactor-record field order is the
-part most at risk of divergence from the canonical readers and has NOT
-been cross-validated against a real datasketches build; the header
-(serial/family/flags/k) follows the documented cross-family conventions.
+Ground truth: verified live against the datasketches-java 6.2.0 bundled
+in Spark's jars (tests/test_jvm_groundtruth.py) — images emitted here
+heapify in org.apache.datasketches.req.ReqSketch with matching
+n/quantiles, and ReqSketch.toByteArray() images parse here, in both the
+exact and estimation regimes. (This cross-check caught a wrong
+compactor-record field order in the first structural-only version.)
 """
 
 from __future__ import annotations
@@ -50,7 +49,7 @@ FAMILY_REQ = 17
 _SERIAL_VERSION = 1
 _F_EMPTY, _F_HRA, _F_RAW_ITEMS, _F_LZS = 4, 8, 16, 32
 _HDR = struct.Struct("<BBBBHBB")
-_CREC = struct.Struct("<QfBBI")
+_CREC = struct.Struct("<QfBBxxI")  # state, section_size_raw, lg_weight, num_sections, pad, count
 
 
 def serialize_canonical(sketch: bytes) -> bytes:
@@ -65,7 +64,7 @@ def serialize_canonical(sketch: bytes) -> bytes:
     for h, lvl in enumerate(st.levels):
         items = np.sort(lvl.buf).astype("<f4") if h == 0 else np.ascontiguousarray(lvl.buf, dtype="<f4")
         parts.append(
-            _CREC.pack(lvl.counter, lvl.section_size_raw, lvl.num_sections, 0, items.size)
+            _CREC.pack(lvl.counter, lvl.section_size_raw, h, lvl.num_sections, items.size)
             + items.tobytes()
         )
     flags |= _F_LZS  # level zero written ascending above
@@ -106,7 +105,7 @@ def deserialize_canonical(image: bytes) -> bytes:
         raise ValueError(f"unsupported REQ preamble length {pre}")
     st.levels = []
     for _ in range(max(num_levels, 1)):
-        state, ssr, num_sections, _, count = _CREC.unpack_from(image, off)
+        state, ssr, _lg_weight, num_sections, count = _CREC.unpack_from(image, off)
         off += _CREC.size
         lvl = _r._Compactor(st.k)
         lvl.counter = int(state)

@@ -33,7 +33,10 @@ class TestAodWire:
         assert seed_hash != 0
         (n,) = struct.unpack_from("<I", img, 16)
         assert n == 100
-        assert len(img) == 20 + 8 * n + 8 * n * 3
+        # count pads to an 8-byte boundary: keys start at 24 (matches
+        # datasketches-java 6.2.0 byte-for-byte, test_jvm_groundtruth.py)
+        assert img[20:24] == b"\x00\x00\x00\x00"
+        assert len(img) == 24 + 8 * n + 8 * n * 3
 
     def test_round_trip_exact(self):
         keys = np.arange(1, 501, dtype=np.uint64)

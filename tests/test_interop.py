@@ -1,7 +1,7 @@
 """DataSketches compact-theta wire-format interop tests.
 
-No datasketches library exists in this environment, so ground truth is
-structural: the serializer must emit exactly the publicly documented v3
+Structural ground truth (see tests/test_jvm_groundtruth.py for live
+verification against the datasketches-java 6.2.0 bundled in Spark's jars): the serializer must emit exactly the publicly documented v3
 layout (preamble/flags/seed-hash/count/theta/sorted hashes), round-trip
 losslessly, and reproduce the reference's own test expectations
 (/root/reference/test/theta_sketch_test.sql:24-33) through export+import.

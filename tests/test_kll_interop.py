@@ -1,7 +1,7 @@
 """DataSketches KLL wire-format interop tests.
 
-No datasketches library exists in this environment, so ground truth is
-structural: the serializer must emit exactly the publicly documented layout
+Structural ground truth (see tests/test_jvm_groundtruth.py for live
+verification against the datasketches-java 6.2.0 bundled in Spark's jars): the serializer must emit exactly the publicly documented layout
 (preamble/flags/k/m/n/min_k/levels/min/max/items with the canonical
 capacity-derived level offsets), round-trip losslessly through the internal
 state, and reproduce exact-regime answers precisely. Capacity math is

@@ -110,9 +110,12 @@ def hash128_bytes_batch(items: list[bytes], seed: int = 0, with_h2: bool = False
 
 def hash128_utf8_batch(values, seed: int = 0, with_h2: bool = False):
     """Vectorized murmur3 h1 over a string column (pandas Series / sequence;
-    None/NaN dropped), via the Arrow string layout: ONE C-level pass encodes
-    and concatenates every value (offsets + flat UTF-8 buffer), so no Python
-    object is touched per row at all."""
+    None/NaN AND empty strings dropped — the ecosystem's update(String) /
+    update(std::string) treats both as no-op updates, ground-truthed
+    against datasketches-java in tests/test_jvm_groundtruth.py), via the
+    Arrow string layout: ONE C-level pass encodes and concatenates every
+    value (offsets + flat UTF-8 buffer), so no Python object is touched
+    per row at all."""
     import pyarrow as pa
 
     arr = pa.array(values, type=pa.large_string(), from_pandas=True)
@@ -126,7 +129,14 @@ def hash128_utf8_batch(values, seed: int = 0, with_h2: bool = False):
         arr.offset : arr.offset + n + 1
     ]
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-    return _h1_from_flat(data, offs[:-1].copy(), (offs[1:] - offs[:-1]), seed, with_h2)
+    starts, lens = offs[:-1].copy(), offs[1:] - offs[:-1]
+    nonempty = lens > 0
+    if not nonempty.all():
+        starts, lens = starts[nonempty], lens[nonempty]
+        if starts.size == 0:
+            e = np.empty(0, dtype=np.uint64)
+            return (e, e) if with_h2 else e
+    return _h1_from_flat(data, starts, lens, seed, with_h2)
 
 
 _MURMUR_BLOCK_BYTES = 1 << 18  # ~L2-resident working set per row block

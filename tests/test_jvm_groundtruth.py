@@ -282,3 +282,49 @@ class TestQuantilesGroundTruth:
         assert st2.n == 5000
         for r in (0.25, 0.5, 0.75):
             assert abs(ub.getQuantile(r) - st2.get_quantile(r, inclusive=True)) < 1e-9
+
+
+class TestThetaStringKeys:
+    def test_utf8_canonicalization_and_empty_string_semantics(self, jvm, mem):
+        """String updates must land on the SAME hashes as java's
+        update(String) — UTF-8 canonicalization — and the empty string must
+        be a no-op update exactly like the ecosystem's (this test caught the
+        divergence: the first version counted \"\" as an item)."""
+        us = jvm.org.apache.datasketches.theta.UpdateSketch.builder().build()
+        words = [f"user_{i}" for i in range(800)] + ["héllo wörld", "日本語テキスト", ""]
+        for w in words:
+            us.update(w)
+        assert us.compact().getEstimate() == 802.0  # java ignored ""
+        img = TI.serialize_compact(TI.build_murmur_strings(words))
+        wrapped = jvm.org.apache.datasketches.theta.Sketches.wrapSketch(mem.wrap(img))
+        assert wrapped.getEstimate() == 802.0
+        inter = jvm.org.apache.datasketches.theta.SetOperation.builder().buildIntersection()
+        inter.intersect(wrapped)
+        inter.intersect(us.compact())
+        assert inter.getResult().getEstimate() == 802.0
+
+
+class TestCpcEstimatorParity:
+    def test_estimates_agree_with_java_cpc(self, jvm):
+        """Estimator-class parity (wire interop for CPC is a documented
+        divergence — the compressed canonical image is not emitted): on the
+        same cardinality, our coupon-matrix ICON estimate and java's CPC
+        estimate both sit within the published error envelope."""
+        from datasketches_postgresql_spark.sketches import cpc as C
+
+        n, lg_k = 50_000, 11
+        js = jvm.org.apache.datasketches.cpc.CpcSketch(lg_k)
+        for i in range(n):
+            js.update(i)
+        # our kernel consumes pre-hashed uniform u64s (the engine hashes
+        # with xxhash64 upstream); mix the ints the same way the column
+        # path does
+        import pyspark.sql.functions as F  # noqa: F401
+        keys = np.arange(n, dtype=np.uint64)
+        z = (keys + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        hashed = z ^ (z >> np.uint64(31))
+        ours = C.get_estimate(C.build(hashed, lg_k))
+        assert abs(js.getEstimate() - n) / n < 0.04
+        assert abs(ours - n) / n < 0.04

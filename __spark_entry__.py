@@ -177,16 +177,33 @@ def q_cpc_distinct_users(spark, sf_dir):
     not an exact integer (unlike theta below k), so the driver cell asserts
     the estimate lands within 3% of the exact distinct count (measured MLE
     RSE at lg_k=12 is ~0.6%, so 3% is a ~5-sigma gate) — the oracle is the
-    constant-true row."""
+    constant-true row. Round 3 folds the CANONICAL WIRE roundtrip into the
+    same gate: the sketch exports as the compressed DataSketches CPC image
+    (byte-identical to what the core library emits for the same coupon
+    matrix, tests/test_jvm_groundtruth.py), re-imports, and must keep the
+    identical estimate; the cell pins the image preamble (serVer 1,
+    family 16) too."""
     ev = _ev(spark, sf_dir)
-    est = CPC.cpc_sketch_distinct(ev, [], "user_id", lg_k=12)
+    sk = CPC.cpc_sketch_build_compat(ev, [], "user_id", lg_k=12)
+    img = sk.select(
+        CPC.cpc_sketch_get_estimate(F.col("sketch")).alias("est"),
+        CPC.cpc_sketch_to_datasketches(F.col("sketch")).alias("img"),
+    )
+    rt = img.select(
+        "img",
+        "est",
+        CPC.cpc_sketch_get_estimate(
+            CPC.cpc_sketch_from_datasketches(F.col("img"))
+        ).alias("est_rt"),
+    )
     exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
-    return est.crossJoin(exact).select(
-        (
-            (F.abs(F.col("distinct_est") - F.col("n_exact")) / F.col("n_exact")) < 0.03
-        )
+    return rt.crossJoin(exact).select(
+        ((F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact")) < 0.03)
         .cast("int")
         .alias("within_3pct"),
+        (F.col("est_rt") == F.col("est")).cast("int").alias("wire_roundtrip_exact"),
+        F.conv(F.hex(F.substring("img", 2, 1)), 16, 10).cast("int").alias("ser_ver"),
+        F.conv(F.hex(F.substring("img", 3, 1)), 16, 10).cast("int").alias("family"),
         F.col("n_exact").alias("distinct_users"),
     )
 
@@ -1222,7 +1239,9 @@ def oracle_sql() -> dict[str, str]:
                     WHERE source IN ('src0', 'src1')) AS n_langs_pair
         """,
         "cpc_distinct_users": """
-            SELECT 1 AS within_3pct, count(DISTINCT user_id) AS distinct_users
+            SELECT 1 AS within_3pct, 1 AS wire_roundtrip_exact,
+                   1 AS ser_ver, 16 AS family,
+                   count(DISTINCT user_id) AS distinct_users
             FROM events
         """,
         "kll_rank_median_minmax": """

@@ -6,13 +6,20 @@ with measured RSE ~= 1.5-2%/sqrt(k/2048) — the CPC accuracy class at the
 same lg_k, unlike the round-1 theta alias. Default lg_k=11 (src/cpc_sketch_pg_functions.c:30).
 
 The reference initializes CPC's entropy-compression tables once per backend
-via a global init hook (src/global_hooks.c:28-35); this kernel stores the
-matrix uncompressed (documented divergence: wire size 8k bytes dense /
-4 bytes-per-coupon sparse vs compressed CPC's ~k bytes), so no per-executor
-init is needed — numpy import at worker start is the analogue.
+via a global init hook (src/global_hooks.c:28-35); the analogue here is
+sketches/cpc_tables.npz (the spec's constant code tables), lazy-loaded per
+worker by the canonical codec. The default build path stores the matrix
+uncompressed (a documented working-format choice: wire size 8k bytes dense
+/ 4 bytes-per-coupon sparse vs compressed CPC's ~k bytes), and
+``cpc_sketch_to_datasketches`` / ``cpc_sketch_from_datasketches`` convert
+to/from the canonical COMPRESSED DataSketches image — byte-identical to
+what the core library emits for the same coupon matrix, proven against the
+datasketches-java bundled in Spark (tests/test_jvm_groundtruth.py).
 
 Keys hash JVM-side via F.xxhash64 (same canonicalization role as
-src/cpc_sketch_pg_functions.c's anyelement handling)."""
+src/cpc_sketch_pg_functions.c's anyelement handling); use
+``cpc_sketch_build_compat`` for the ecosystem's murmur coupon mapping when
+sketches must union with Druid/Hive/datasketches-built ones."""
 
 from __future__ import annotations
 
@@ -126,3 +133,58 @@ def cpc_sketch_get_estimate_and_bounds(sketch: Column, num_std_devs: int = 1) ->
 def cpc_sketch_to_string(s: pd.Series) -> pd.Series:
     """(sql:145-147)."""
     return pd.Series([None if b is None else _c.to_string(bytes(b)) for b in s])
+
+
+def cpc_sketch_build_compat(
+    df: DataFrame, group_cols: list[str], col: str, lg_k: int = DEFAULT_LG_K,
+    out_col: str = "sketch",
+) -> DataFrame:
+    """cpc_sketch_build in the DataSketches coupon space (murmur3 seed 9001,
+    row = h1 low lgK bits, col = clz(h2) — CpcSketch.update's mapping):
+    sketches built here have matrices IDENTICAL to library-built ones over
+    the same keys, so exports union exactly with Druid / Hive /
+    datasketches-* sketches. Integral keys canonicalize to 8-byte LE."""
+    from ..operators.agg import keep_group_keys
+    from ..sketches import cpc_interop as _ci
+
+    proj = df.where(F.col(col).isNotNull()).select(
+        *group_cols, F.col(col).cast("long").alias(_H)
+    )
+
+    agg = sketch_groupby_agg(
+        proj,
+        group_cols,
+        [_H],
+        partial_fn=lambda pdf: _ci.build_murmur(
+            pdf[_H].to_numpy(dtype=np.int64).astype(np.uint64), lg_k
+        ),
+        merge_fn=lambda states: _c.union(states, lg_k),
+        finalize_fn=lambda b: {out_col: b},
+        out_fields=[StructField(out_col, BinaryType())],
+    )
+    empty = _ci.build_murmur(np.empty(0, dtype=np.uint64), lg_k)
+    return keep_group_keys(df, group_cols, agg, {out_col: empty})
+
+
+@F.pandas_udf(BinaryType())
+def cpc_sketch_to_datasketches(s: pd.Series) -> pd.Series:
+    """Internal CPC sketch -> canonical compressed DataSketches CPC image
+    (merged format — what a CpcUnion result serializes to; see
+    sketches.cpc_interop for the full layout)."""
+    from ..sketches.cpc_interop import serialize_canonical
+
+    return pd.Series(
+        [None if b is None else serialize_canonical(bytes(b)) for b in s], dtype=object
+    )
+
+
+@F.pandas_udf(BinaryType())
+def cpc_sketch_from_datasketches(s: pd.Series) -> pd.Series:
+    """Canonical DataSketches CPC image (any of the 8 formats, HIP or
+    merged, e.g. from Druid or datasketches-*) -> internal sketch usable
+    with every cpc_* function here."""
+    from ..sketches.cpc_interop import deserialize_canonical
+
+    return pd.Series(
+        [None if b is None else deserialize_canonical(bytes(b)) for b in s], dtype=object
+    )

@@ -246,3 +246,5 @@ def register_all(spark: SparkSession) -> None:
     spark.udf.register("cpc_sketch_union_agg", cpc_sketch_union_agg)
     spark.udf.register("cpc_sketch_get_estimate", cpc_fns.cpc_sketch_get_estimate)
     spark.udf.register("cpc_sketch_to_string", cpc_fns.cpc_sketch_to_string)
+    spark.udf.register("cpc_sketch_to_datasketches", cpc_fns.cpc_sketch_to_datasketches)
+    spark.udf.register("cpc_sketch_from_datasketches", cpc_fns.cpc_sketch_from_datasketches)

@@ -14,13 +14,16 @@ vs CPC's ~k bytes) and estimates by maximizing the exact per-column
 likelihood, giving the same accuracy CLASS (measured RSE ~= 0.8/sqrt(k),
 vs theta's 1/sqrt(k) at equal lg_k and far fewer stored bits per coupon).
 
-Why no canonical DataSketches CPC image (unlike theta/HLL/KLL/REQ/FI/AOD,
-which all interop here): the compressed CPC wire format is defined by
-~22x256-entry length-limited-code constant tables plus a 65-entry Golomb
-table published only as data in the datasketches-* sources — they are not
-derivable from the paper, and this sandbox has no network or datasketches
-library to source or validate them against. The uncompressed matrix is
-therefore a deliberate, documented engine-private format, not an oversight.
+The canonical compressed DataSketches CPC image is supported via
+sketches.cpc_interop (round 3): the spec's constant code tables live in
+cpc_tables.npz (extracted from the datasketches-java bundled inside
+Spark's own jars — tools/gen_cpc_tables.py), and the emitted images are
+byte-identical to the library's own serialization for the same coupon
+matrix (tests/test_jvm_groundtruth.py). The uncompressed matrix below
+remains the engine's WORKING format (OR-mergeable partials, vectorized
+updates); the compressed image is the interchange format at the edges —
+the same split the reference makes between in-memory sketch state and its
+stored bytea.
 
 - merge = bitwise OR (order-independent, idempotent — safely mergeable
   partials, unlike HIP-augmented streaming estimators);

@@ -1,0 +1,456 @@
+"""Apache DataSketches CPC canonical (compressed) wire-format interop.
+
+The reference stores CPC sketches as the standard compressed image
+(/root/reference/src/cpc_sketch_c_adapter.cpp serializes via the core
+library; stored per /root/reference/sql/datasketches_cpc_sketch.sql) —
+readable by datasketches-{java,cpp,py} and Druid. Round 2 documented this
+format as out of reach ("no library to validate against"); round 3 found
+datasketches-java 6.2.0 inside Spark's own jars, which supplies both the
+spec constants (tools/gen_cpc_tables.py -> cpc_tables.npz) and live
+ground truth (tests/test_jvm_groundtruth.py), so the divergence is now
+closed: this module emits and reads the canonical image.
+
+Format (little-endian; Lang 2017 + the public datasketches-* sources):
+
+  Header (8 bytes, all formats):
+    byte 0: preamble ints   byte 1: serial version (1)
+    byte 2: family (16=CPC) byte 3: lgK
+    byte 4: fiCol           byte 5: flags
+    bytes 6-7: seed hash (murmur3 of the update seed, theta-style)
+  flags: bit0 bigEndian, bit1 compressed, bits 2-4 = format ordinal:
+    (hasHip | hasSv<<1 | hasWindow<<2). This engine's sketches are
+  OR-merged coupon matrices with no HIP state, so the writer emits the
+  MERGED formats (exactly what a CpcUnion result serializes to); the
+  reader accepts all eight.
+
+  Per-format preamble fields (int offsets from the reflection-extracted
+  PreambleUtil tables, validated byte-for-byte against the library):
+    SPARSE_HYBRID_MERGED (2, preInts 4):  numCoupons@8 svLen@12 sv@16
+    SPARSE_HYBRID_HIP    (3, preInts 8):  + kxp@16 hipAccum@24, sv@32
+    PINNED_SLIDING_MERGED_NOSV (4, 4):    numCoupons@8 wLen@12 w@16
+    PINNED_SLIDING_HIP_NOSV    (5, 8):    + kxp/hip, w@32
+    PINNED_SLIDING_MERGED      (6, 6):    numCoupons@8 numSv@12 svLen@16
+                                          wLen@20, w@24, sv after w
+    PINNED_SLIDING_HIP         (7, 10):   + kxp@16 hip@24, svLen@32
+                                          wLen@36, w@40, sv after w
+
+  Sketch model: k x 64 coupon bit matrix. flavor by c=numCoupons:
+  EMPTY; SPARSE (32c<3k); HYBRID (2c<k); PINNED (8c<27k); SLIDING.
+  offset = max(0, (8c - 19k) >> (lgK+3)). window byte i = matrix bits
+  [offset, offset+8); the "surprising values" pair list is the XOR of the
+  remaining bits against the all-ones default below offset (pairs toggle:
+  they encode surprising HIGH ones and surprising LOW zeros). SPARSE /
+  HYBRID serialize every coupon as a pair (window folded in, offset 0).
+
+  Entropy coding (LSB-first bits flushed into u32 words):
+  - pairs: per pair (sorted ascending), column delta vs the previous pair
+    in the same row via the 65-entry length-limited code; row delta via
+    Golomb (plain-unary high part, b raw low bits),
+    b = floor(log2((k) / numPairs)) via golombChooseNumberOfBaseBits
+    (k+numPairs, numPairs); stream tail-padded with max(0, 10-b) zero
+    bits. PINNED pairs store col-8; SLIDING pairs store
+    colPerm[(col + 56 - offset) & 63].
+  - window: per byte, the 12-bit-max length-limited code from the
+    22-table set selected by pseudoPhase(lgK, c); tail-padded 11 bits.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+from . import cpc as _c
+from .interop import DEFAULT_SEED, compute_seed_hash
+from .murmur3 import hash128_u64
+
+FAMILY_CPC = 16
+_SER_VER = 1
+
+_TABLES = None
+
+
+def _tables():
+    global _TABLES
+    if _TABLES is None:
+        path = os.path.join(os.path.dirname(__file__), "cpc_tables.npz")
+        _TABLES = dict(np.load(path).items())
+    return _TABLES
+
+
+# -- spec arithmetic (mirrors CpcUtil / CpcCompression) -----------------------
+
+
+def determine_flavor(lg_k: int, c: int) -> str:
+    k = 1 << lg_k
+    if c == 0:
+        return "empty"
+    if (c << 5) < 3 * k:
+        return "sparse"
+    if (c << 1) < k:
+        return "hybrid"
+    if (c << 3) < 27 * k:
+        return "pinned"
+    return "sliding"
+
+
+def determine_correct_offset(lg_k: int, c: int) -> int:
+    tmp = (c << 3) - 19 * (1 << lg_k)
+    return 0 if tmp < 0 else tmp >> (lg_k + 3)
+
+
+def determine_pseudo_phase(lg_k: int, c: int) -> int:
+    k = 1 << lg_k
+    if 1000 * c < 2375 * k:
+        if 4 * c < 3 * k:
+            return 16
+        if 10 * c < 11 * k:
+            return 17
+        if 100 * c < 132 * k:
+            return 18
+        if 3 * c < 5 * k:
+            return 19
+        if 1000 * c < 1965 * k:
+            return 20
+        if 1000 * c < 2275 * k:
+            return 21
+        return 6
+    return (c >> (lg_k - 4)) & 15
+
+
+def golomb_base_bits(k_plus_count: int, count: int) -> int:
+    q = (k_plus_count - count) // count
+    return 0 if q == 0 else q.bit_length() - 1
+
+
+# -- LSB-first bit streams over u32 words -------------------------------------
+
+
+class _BitWriter:
+    __slots__ = ("words", "buf", "nbits")
+
+    def __init__(self):
+        self.words: list[int] = []
+        self.buf = 0
+        self.nbits = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.buf |= (value & ((1 << nbits) - 1)) << self.nbits
+        self.nbits += nbits
+        while self.nbits >= 32:
+            self.words.append(self.buf & 0xFFFFFFFF)
+            self.buf >>= 32
+            self.nbits -= 32
+
+    def put_unary(self, value: int) -> None:
+        # value zeros then a 1 bit
+        while value >= 32:
+            self.put(0, 32)
+            value -= 32
+        self.put(1 << value, value + 1)
+
+    def finish(self, pad_bits: int) -> np.ndarray:
+        self.put(0, pad_bits)
+        if self.nbits > 0:
+            self.words.append(self.buf & 0xFFFFFFFF)
+            self.buf = 0
+            self.nbits = 0
+        return np.array(self.words, dtype="<u4")
+
+
+class _BitReader:
+    __slots__ = ("words", "i", "buf", "nbits")
+
+    def __init__(self, words: np.ndarray):
+        self.words = words
+        self.i = 0
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self, want: int) -> None:
+        while self.nbits < want:
+            if self.i < len(self.words):
+                self.buf |= int(self.words[self.i]) << self.nbits
+                self.i += 1
+            # past-the-end reads see zero bits (the writer's tail padding
+            # guarantees real symbols never need them)
+            self.nbits += 32
+
+    def take(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill(n)
+        v = self.buf & ((1 << n) - 1)
+        self.buf >>= n
+        self.nbits -= n
+        return v
+
+    def peek12(self) -> int:
+        self._fill(12)
+        return self.buf & 0xFFF
+
+    def drop(self, n: int) -> None:
+        self.buf >>= n
+        self.nbits -= n
+
+    def take_unary(self) -> int:
+        c = 0
+        while True:
+            self._fill(1)
+            bit = self.buf & 1
+            self.buf >>= 1
+            self.nbits -= 1
+            if bit:
+                return c
+            c += 1
+            if c > 1 << 20:
+                raise ValueError("corrupt CPC stream: unbounded unary run")
+
+
+# -- pair and window codecs ----------------------------------------------------
+
+
+def _compress_pairs(pairs: np.ndarray, base_bits: int) -> np.ndarray:
+    enc65 = _tables()["llu_encoding_65"]
+    w = _BitWriter()
+    pred_row, pred_col = 0, 0
+    for rc in pairs:
+        rc = int(rc)
+        row, col = rc >> 6, rc & 63
+        if row != pred_row:
+            pred_col = 0
+        x_delta = col - pred_col
+        y_delta = row - pred_row
+        pred_row, pred_col = row, col + 1
+        code = int(enc65[x_delta])
+        w.put(code & 0xFFF, code >> 12)
+        w.put_unary(y_delta >> base_bits)
+        w.put(y_delta & ((1 << base_bits) - 1), base_bits)
+    return w.finish(max(0, 10 - base_bits))
+
+
+def _uncompress_pairs(words: np.ndarray, num_pairs: int, base_bits: int) -> np.ndarray:
+    dec65 = _tables()["llu_decoding_65"]
+    r = _BitReader(words)
+    out = np.empty(num_pairs, dtype=np.uint32)
+    pred_row, pred_col = 0, 0
+    for i in range(num_pairs):
+        e = int(dec65[r.peek12()])
+        r.drop(e >> 8)
+        x_delta = e & 0xFF
+        hi = r.take_unary()
+        lo = r.take(base_bits)
+        y_delta = (hi << base_bits) | lo
+        row = pred_row + y_delta
+        if y_delta:
+            pred_col = 0
+        col = pred_col + x_delta
+        out[i] = (row << 6) | col
+        pred_row, pred_col = row, col + 1
+    return out
+
+
+def _compress_window(window: np.ndarray, pseudo_phase: int) -> np.ndarray:
+    enc = _tables()["encoding_high"][pseudo_phase]
+    w = _BitWriter()
+    for b in window:
+        code = int(enc[int(b)])
+        w.put(code & 0xFFF, code >> 12)
+    return w.finish(11)
+
+
+def _uncompress_window(words: np.ndarray, k: int, pseudo_phase: int) -> np.ndarray:
+    dec = _tables()["decoding_high"][pseudo_phase]
+    r = _BitReader(words)
+    out = np.empty(k, dtype=np.uint8)
+    for i in range(k):
+        e = int(dec[r.peek12()])
+        r.drop(e >> 8)
+        out[i] = e & 0xFF
+    return out
+
+
+# -- matrix <-> serialized state -----------------------------------------------
+
+
+def _matrix_to_pattern(matrix: np.ndarray, offset: int):
+    """(window bytes, xor-pattern rows): the canonical split at offset."""
+    window = ((matrix >> np.uint64(offset)) & np.uint64(0xFF)).astype(np.uint8)
+    masked_out = np.uint64((~(0xFF << offset)) & 0xFFFFFFFFFFFFFFFF)
+    default = np.uint64((1 << offset) - 1)
+    pattern = (matrix & masked_out) ^ default
+    return window, pattern
+
+
+def _pattern_pairs(pattern: np.ndarray) -> np.ndarray:
+    rows, = np.nonzero(pattern)
+    out = []
+    for r in rows:
+        bits = int(pattern[r])
+        while bits:
+            low = bits & -bits
+            out.append((int(r) << 6) | (low.bit_length() - 1))
+            bits ^= low
+    return np.array(sorted(out), dtype=np.uint32)
+
+
+def serialize_canonical(sketch: bytes, seed: int = DEFAULT_SEED) -> bytes:
+    """Internal CPC sketch -> canonical compressed DataSketches CPC image
+    (a MERGED-format image: the engine's matrices are OR-merged partials
+    with no HIP state — the same thing a CpcUnion result serializes to)."""
+    lg_k, matrix = _c.deserialize(sketch)
+    k = 1 << lg_k
+    c = int(np.bitwise_count(matrix).sum()) if hasattr(np, "bitwise_count") else int(
+        sum(bin(int(x)).count("1") for x in matrix)
+    )
+    seed_hash = compute_seed_hash(seed)
+    flavor = determine_flavor(lg_k, c)
+    if flavor == "empty":
+        flags = 2 | (0 << 2)
+        return struct.pack("<BBBBBBH", 2, _SER_VER, FAMILY_CPC, lg_k, 0, flags, seed_hash)
+    if flavor in ("sparse", "hybrid"):
+        pairs = _pattern_pairs(matrix)  # offset 0: pattern == matrix
+        bb = golomb_base_bits(k + c, c)
+        sv = _compress_pairs(pairs, bb)
+        flags = 2 | (2 << 2)  # SPARSE_HYBRID_MERGED
+        head = struct.pack(
+            "<BBBBBBH", 4, _SER_VER, FAMILY_CPC, lg_k, 0, flags, seed_hash
+        ) + struct.pack("<II", c, len(sv))
+        return head + sv.tobytes()
+    offset = determine_correct_offset(lg_k, c)
+    window, pattern = _matrix_to_pattern(matrix, offset)
+    pairs = _pattern_pairs(pattern)
+    or_all = 0
+    for p in pattern:
+        or_all |= int(p)
+    tz = (or_all & -or_all).bit_length() - 1 if or_all else 64
+    fi_col = min(tz, offset)
+    cw = _compress_window(window, determine_pseudo_phase(lg_k, c))
+    if pairs.size == 0:
+        flags = 2 | (4 << 2)  # PINNED_SLIDING_MERGED_NOSV
+        head = struct.pack(
+            "<BBBBBBH", 4, _SER_VER, FAMILY_CPC, lg_k, fi_col, flags, seed_hash
+        ) + struct.pack("<II", c, len(cw))
+        return head + cw.tobytes()
+    enc_pairs = pairs.copy()
+    if flavor == "pinned":
+        enc_pairs = np.sort(enc_pairs - np.uint32(8))  # cols >= 8 guaranteed
+    else:  # sliding: permute columns into [0, 56)
+        perm = _tables()["col_perm_encoding"][determine_pseudo_phase(lg_k, c)]
+        rows = enc_pairs >> np.uint32(6)
+        cols = (enc_pairs & np.uint32(63)).astype(np.int64)
+        cols = perm[(cols + 56 - offset) & 63].astype(np.uint32)
+        enc_pairs = np.sort((rows << np.uint32(6)) | cols)
+    bb = golomb_base_bits(k + pairs.size, pairs.size)
+    sv = _compress_pairs(enc_pairs, bb)
+    flags = 2 | (6 << 2)  # PINNED_SLIDING_MERGED
+    head = struct.pack(
+        "<BBBBBBH", 6, _SER_VER, FAMILY_CPC, lg_k, fi_col, flags, seed_hash
+    ) + struct.pack("<IIII", c, int(pairs.size), len(sv), len(cw))
+    return head + cw.tobytes() + sv.tobytes()
+
+
+def deserialize_canonical(image: bytes, seed: int = DEFAULT_SEED) -> bytes:
+    """Canonical DataSketches CPC image (any of the 8 formats, HIP or
+    merged) -> internal sketch bytes usable with every cpc_* function.
+    HIP registers, if present, are ignored — the engine estimates with
+    ICON/MLE from the matrix, as any merged-sketch reader must."""
+    if len(image) < 8:
+        raise ValueError("truncated CPC image")
+    pre_ints, ser, fam, lg_k, fi_col, flags, seed_hash = struct.unpack_from(
+        "<BBBBBBH", image, 0
+    )
+    if ser != _SER_VER:
+        raise ValueError(f"unsupported CPC serial version {ser} (expected 1)")
+    if fam != FAMILY_CPC:
+        raise ValueError(f"not a CPC image (family {fam}, expected 16)")
+    ordinal = (flags >> 2) & 7
+    if ordinal == 0 or ordinal == 1:  # EMPTY
+        return _c.serialize(lg_k, np.empty(0, dtype=np.uint32), None)
+    if seed_hash != compute_seed_hash(seed):
+        raise ValueError("seed hash mismatch: image built with a different update seed")
+    k = 1 << lg_k
+    has_hip = bool(ordinal & 1)
+    has_window = bool(ordinal & 4)
+    (c,) = struct.unpack_from("<I", image, 8)
+    if not has_window:  # SPARSE_HYBRID
+        (sv_len,) = struct.unpack_from("<I", image, 12)
+        sv_off = 32 if has_hip else 16
+        sv = np.frombuffer(image, dtype="<u4", count=sv_len, offset=sv_off)
+        pairs = _uncompress_pairs(sv, c, golomb_base_bits(k + c, c))
+        return _c.serialize(lg_k, None, _c._dense_from_coupons(pairs, lg_k))
+    offset = determine_correct_offset(lg_k, c)
+    has_sv = bool(ordinal & 2)
+    if not has_sv:  # NOSV
+        (w_len,) = struct.unpack_from("<I", image, 12)
+        w_off = 32 if has_hip else 16
+        num_sv, sv = 0, None
+    else:
+        (num_sv,) = struct.unpack_from("<I", image, 12)
+        if has_hip:
+            sv_len, w_len = struct.unpack_from("<II", image, 32)
+            w_off = 40
+        else:
+            sv_len, w_len = struct.unpack_from("<II", image, 16)
+            w_off = 24
+        sv = np.frombuffer(image, dtype="<u4", count=sv_len, offset=w_off + 4 * w_len)
+    cw = np.frombuffer(image, dtype="<u4", count=w_len, offset=w_off)
+    window = _uncompress_window(cw, k, determine_pseudo_phase(lg_k, c))
+    matrix = (
+        np.full(k, (1 << offset) - 1, dtype=np.uint64)
+        | (window.astype(np.uint64) << np.uint64(offset))
+    )
+    if num_sv:
+        enc_pairs = _uncompress_pairs(sv, num_sv, golomb_base_bits(k + num_sv, num_sv))
+        rows = (enc_pairs >> np.uint32(6)).astype(np.int64)
+        cols = (enc_pairs & np.uint32(63)).astype(np.int64)
+        if determine_flavor(lg_k, c) == "pinned":
+            cols = cols + 8
+        else:
+            perm_dec = _tables()["col_perm_decoding"][determine_pseudo_phase(lg_k, c)]
+            cols = (perm_dec[cols].astype(np.int64) + offset + 8) & 63
+        np.bitwise_xor.at(matrix, rows, np.uint64(1) << cols.astype(np.uint64))
+    return _c.serialize(lg_k, None, matrix)
+
+
+# -- ecosystem-compatible build (murmur rowCol mapping) -------------------------
+
+
+def coupons_murmur(keys: np.ndarray, lg_k: int, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """The ecosystem's coupon mapping (CpcSketch.update: row = h1 low lgK
+    bits, col = min(clz(h2), 63)) over u64 keys hashed with murmur3 of the
+    8-byte LE encoding — a sketch built from these coupons has the
+    IDENTICAL matrix to a datasketches-built one over the same keys, so
+    cross-system unions are exact (proven byte-for-byte in
+    tests/test_jvm_groundtruth.py)."""
+    h1, h2 = hash128_u64(np.asarray(keys, dtype=np.uint64), seed=seed)
+    k = np.uint64(1 << lg_k)
+    rows = (h1 & (k - np.uint64(1))).astype(np.uint32)
+    # clz via bit_length: vectorized int64->float tricks lose precision at
+    # 64 bits, so compute from the top 32/bottom 32 halves
+    hi = (h2 >> np.uint64(32)).astype(np.uint32)
+    lo = (h2 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    bl_hi = np.zeros(h2.shape, dtype=np.uint32)
+    bl_lo = np.zeros(h2.shape, dtype=np.uint32)
+    for shift in (16, 8, 4, 2, 1):
+        for arr, bl in ((hi, bl_hi), (lo, bl_lo)):
+            mask = arr >= (np.uint32(1) << np.uint32(shift))
+            bl[mask] += shift
+            arr[mask] >>= np.uint32(shift)
+    # arr now reduced; add the final bit
+    bl_hi += (hi > 0).astype(np.uint32)
+    bl_lo += (lo > 0).astype(np.uint32)
+    bitlen = np.where(bl_hi > 0, bl_hi + 32, bl_lo)
+    clz = (np.uint32(64) - bitlen).astype(np.uint32)
+    cols = np.minimum(clz, np.uint32(63))
+    return np.unique((rows << np.uint32(6)) | cols)
+
+
+def build_murmur(keys: np.ndarray, lg_k: int = _c.DEFAULT_LG_K,
+                 seed: int = DEFAULT_SEED) -> bytes:
+    """Ecosystem-compatible CPC build over u64 keys (internal format)."""
+    coupons = coupons_murmur(keys, lg_k, seed)
+    return _c._pack(lg_k, _c._dense_from_coupons(coupons, lg_k))

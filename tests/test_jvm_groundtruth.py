@@ -328,3 +328,64 @@ class TestCpcEstimatorParity:
         ours = C.get_estimate(C.build(hashed, lg_k))
         assert abs(js.getEstimate() - n) / n < 0.04
         assert abs(ours - n) / n < 0.04
+
+
+class TestCpcWireGroundTruth:
+    """Canonical compressed CPC images — the round-2 'out of reach'
+    divergence, closed in round 3 with the spec tables and ground truth
+    from the bundled library (sketches/cpc_interop.py)."""
+
+    @pytest.mark.parametrize("lgk", [10, 11])
+    @pytest.mark.parametrize("n", [0, 1, 40, 500, 3000, 20000, 200000])
+    def test_byte_identical_to_library_merged_image(self, jvm, lgk, n):
+        """Our writer's image over the murmur coupon matrix is BYTE-FOR-BYTE
+        the image the library serializes for the same coupons (via a
+        CpcUnion result — the merged-format producer), across every flavor:
+        empty, sparse, hybrid, pinned, sliding."""
+        from datasketches_postgresql_spark.sketches import cpc_interop as CI
+
+        js = jvm.org.apache.datasketches.cpc.CpcSketch(lgk)
+        for i in range(n):
+            js.update(i)
+        u = jvm.org.apache.datasketches.cpc.CpcUnion(lgk)
+        u.update(js)
+        img_java = bytes(u.getResult().toByteArray())
+        img_ours = CI.serialize_canonical(
+            CI.build_murmur(np.arange(n, dtype=np.uint64), lgk)
+        )
+        assert img_ours == img_java
+
+    @pytest.mark.parametrize("n", [1, 40, 500, 3000, 20000, 200000])
+    def test_library_hip_image_parses_here(self, jvm, n):
+        """Direct (HIP-format) library images parse into the engine's
+        matrix; the ICON/MLE estimate stays within the CPC error envelope
+        of the library's own estimate."""
+        from datasketches_postgresql_spark.sketches import cpc as C
+        from datasketches_postgresql_spark.sketches import cpc_interop as CI
+
+        js = jvm.org.apache.datasketches.cpc.CpcSketch(11)
+        for i in range(n):
+            js.update(i)
+        back = CI.deserialize_canonical(bytes(js.toByteArray()))
+        est = C.get_estimate(back)
+        assert abs(est - js.getEstimate()) / max(n, 1) < 0.02
+
+    def test_our_image_heapifies_and_unions_in_java(self, jvm):
+        """The library accepts our image: heapify + union with a
+        library-built sketch over the same keys must not grow the estimate
+        (coupon-set identity, proven in the library itself)."""
+        from datasketches_postgresql_spark.sketches import cpc_interop as CI
+
+        n, lgk = 20000, 11
+        img = CI.serialize_canonical(CI.build_murmur(np.arange(n, dtype=np.uint64), lgk))
+        hs = jvm.org.apache.datasketches.cpc.CpcSketch.heapify(img)
+        js = jvm.org.apache.datasketches.cpc.CpcSketch(lgk)
+        for i in range(n):
+            js.update(i)
+        u = jvm.org.apache.datasketches.cpc.CpcUnion(lgk)
+        u.update(hs)
+        u.update(js)
+        merged = u.getResult()
+        alone = jvm.org.apache.datasketches.cpc.CpcUnion(lgk)
+        alone.update(js)
+        assert merged.getEstimate() == alone.getResult().getEstimate()

@@ -73,34 +73,27 @@ def q_theta_distinct_users_by_type(spark, sf_dir):
     )
 
 
-def q_theta_reaggregate(spark, sf_dir):
-    """theta_sketch_union AND theta_sketch_intersection AGGREGATES over the
-    same stored per-group sketches in one gate (merged round-3
-    theta_union_reaggregate + theta_intersection_reaggregate;
-    sql/datasketches_theta_sketch.sql:147-163): users seen under ANY
-    event_type vs users present in EVERY event_type."""
+def q_theta_algebra(spark, sf_dir):
+    """The full theta set algebra in one gate (round-3 merge of
+    theta_reaggregate + theta_set_ops to free a driver slot for the
+    packing operator): union AND intersection AGGREGATES over the same
+    stored per-group sketches (sql/datasketches_theta_sketch.sql:147-163)
+    plus the PAIRWISE intersection / a-not-b / union scalar functions
+    (sql:165-175). Exact regime throughout."""
+    ev = _ev(spark, sf_dir)
     # persist: the per-group sketch table (one small row per event_type)
     # feeds BOTH aggregates — without it each branch re-runs the full
     # events-scan sketch build
-    sk = TH.theta_sketch_build(_ev(spark, sf_dir), ["event_type"], "user_id").persist()
+    sk = TH.theta_sketch_build(ev, ["event_type"], "user_id").persist()
     union = TH.theta_sketch_union_agg(sk, [], "sketch").select(
         TH.theta_sketch_get_estimate("sketch").cast("bigint").alias("distinct_users")
     )
     inter = TH.theta_sketch_intersection_agg(sk, [], "sketch").select(
         TH.theta_sketch_get_estimate("sketch").cast("bigint").alias("n_all_types")
     )
-    return union.crossJoin(inter)
-
-
-def q_theta_set_ops(spark, sf_dir):
-    ev = _ev(spark, sf_dir)
-    a = TH.theta_sketch_build(ev.where("event_type = 'click'"), [], "user_id").select(
-        F.col("sketch").alias("a")
-    )
-    b = TH.theta_sketch_build(ev.where("event_type = 'signup'"), [], "user_id").select(
-        F.col("sketch").alias("b")
-    )
-    return a.crossJoin(b).select(
+    a = sk.where("event_type = 'click'").select(F.col("sketch").alias("a"))
+    b = sk.where("event_type = 'signup'").select(F.col("sketch").alias("b"))
+    pair = a.crossJoin(b).select(
         TH.theta_sketch_get_estimate(TH.theta_sketch_intersection(F.col("a"), F.col("b")))
         .cast("bigint")
         .alias("n_both"),
@@ -111,6 +104,7 @@ def q_theta_set_ops(spark, sf_dir):
         .cast("bigint")
         .alias("n_either"),
     )
+    return union.crossJoin(inter).crossJoin(pair)
 
 
 def q_sketch_bounds_exact(spark, sf_dir):
@@ -460,10 +454,26 @@ def q_req_tail_accuracy(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-def q_fi_heavy_event_types(spark, sf_dir):
-    sk = FI.frequent_strings_sketch_build(_ev(spark, sf_dir), [], 6, "event_type")
+def q_fi_heavy_merge(spark, sf_dir):
+    """frequent_strings_sketch_build's heavy hitters (threshold 1500) AND
+    frequent_strings_sketch_merge's rebuilt totals over per-group sketches
+    in one gate (round-3 merge of fi_heavy_event_types + fi_merge to free
+    a driver slot for the domain-cap operator). Rows tagged 'd:'/'m:'."""
+    ev = _ev(spark, sf_dir)
+    sk = FI.frequent_strings_sketch_build(ev, [], 6, "event_type")
     res = FI.frequent_strings_sketch_result_no_false_negatives(F.col("sketch"), 1500)
-    return FI.explode_result(sk, res)
+    direct = FI.explode_result(sk, res).select(
+        F.concat_ws(":", F.lit("d"), F.col("str")).alias("item"),
+        "estimate", "lower_bound", "upper_bound",
+    )
+    per_type = FI.frequent_strings_sketch_build(ev, ["event_type"], 6, "event_type")
+    merged = FI.frequent_strings_sketch_merge(per_type, [], 6, "sketch")
+    mres = FI.frequent_strings_sketch_result_no_false_negatives(F.col("sketch"), 0)
+    m = FI.explode_result(merged, mres).select(
+        F.concat_ws(":", F.lit("m"), F.col("str")).alias("item"),
+        "estimate", "lower_bound", "upper_bound",
+    )
+    return direct.unionByName(m).orderBy("item")
 
 
 def q_fi_weighted_sources(spark, sf_dir):
@@ -493,13 +503,63 @@ def q_fi_wire_roundtrip(spark, sf_dir):
     return FI.explode_result(back, res, keep_cols=["family"])
 
 
-def q_fi_merge(spark, sf_dir):
-    per_type = FI.frequent_strings_sketch_build(
-        _ev(spark, sf_dir), ["event_type"], 6, "event_type"
+def q_text_packing(spark, sf_dir):
+    """Sequence packing (textops/packing.py — FFD bin packing of docs into
+    fixed token budgets, the pretraining batch-prep op). SQL cannot express
+    FFD, so the gate asserts the invariants that define a correct packing
+    and returns SQL-checkable totals: every doc exactly once (n_docs),
+    length conservation (total_len), the exact oversize set (n_oversize),
+    every regular bin within budget (caps_ok) and FFD pulling its weight
+    (utilization >= 0.75, far above first-fit's worst case)."""
+    from datasketches_postgresql_spark.textops import packing as PKG
+
+    budget = 2000
+    d = _docs(spark, sf_dir).select("doc_id", F.length("text").alias("n"))
+    a = PKG.pack_documents(d, "doc_id", "n", budget, num_partitions=8)
+    stats = PKG.packing_stats(a, budget)
+    bins = a.groupBy("bin_id").agg(
+        F.first("bin_fill").alias("fill"),
+        F.max(F.col("oversize").cast("int")).alias("over"),
     )
-    merged = FI.frequent_strings_sketch_merge(per_type, [], 6, "sketch")
-    res = FI.frequent_strings_sketch_result_no_false_negatives(F.col("sketch"), 0)
-    return FI.explode_result(merged, res)
+    caps = bins.agg(
+        F.max(F.when(F.col("over") == 0, F.col("fill")).otherwise(0)).alias("mx")
+    )
+    conserve = (
+        a.join(d, a["id"] == d["doc_id"]).agg(F.sum("n").cast("bigint").alias("total_len"))
+    )
+    return (
+        stats.crossJoin(caps)
+        .crossJoin(conserve)
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_oversize").cast("bigint").alias("n_oversize"),
+            "total_len",
+            (F.col("mx") <= budget).cast("int").alias("caps_ok"),
+            (F.col("utilization") >= 0.75).cast("int").alias("util_ok"),
+        )
+    )
+
+
+def q_url_domain_cap(spark, sf_dir):
+    """Per-registrable-domain quota (textops/urlops.py cap_per_domain,
+    rank mode): synthetic urls spread docs over 20 .org domains, the cap
+    keeps the 5 lexicographically-smallest urls per domain; the oracle
+    replays the identical rule with a window."""
+    from datasketches_postgresql_spark.textops.urlops import (
+        cap_per_domain,
+        registrable_domain,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://www.host"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".org/p"), F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    kept = cap_per_domain(d, "url", max_docs=5)
+    return kept.select(
+        registrable_domain(F.col("url")).alias("domain"), "url"
+    ).orderBy("domain", "url")
 
 
 # --------------------------------------------------------------------------
@@ -1133,8 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup": q_text_line_dedup,
         # -- sketch families ---------------------------------------------------
         "theta_distinct_users_by_type": q_theta_distinct_users_by_type,
-        "theta_reaggregate": q_theta_reaggregate,
-        "theta_set_ops": q_theta_set_ops,
+        "theta_algebra": q_theta_algebra,
         "sketch_bounds_exact": q_sketch_bounds_exact,
         "theta_wire_roundtrip": q_theta_wire_roundtrip,
         "hll_distinct_langs_by_source": q_hll_distinct_langs_by_source,
@@ -1149,9 +1208,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "req_tail_accuracy": q_req_tail_accuracy,
         "req_wire_roundtrip": q_req_wire_roundtrip,
         "quantiles_double_family": q_quantiles_double_family,
-        "fi_heavy_event_types": q_fi_heavy_event_types,
+        "fi_heavy_merge": q_fi_heavy_merge,
+        "text_packing": q_text_packing,
+        "url_domain_cap": q_url_domain_cap,
         "fi_weighted_sources": q_fi_weighted_sources,
-        "fi_merge": q_fi_merge,
         "fi_wire_roundtrip": q_fi_wire_roundtrip,
         "sketch_to_string": q_sketch_to_string,
         "aod_moments": q_aod_moments,
@@ -1175,13 +1235,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS distinct_users
             FROM events GROUP BY event_type ORDER BY event_type
         """,
-        "theta_reaggregate": """
+        "theta_algebra": """
+            WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+                 s AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
             SELECT
               (SELECT count(DISTINCT user_id) FROM events) AS distinct_users,
               (SELECT count(*) FROM (
                  SELECT user_id FROM events GROUP BY user_id
                  HAVING count(DISTINCT event_type) =
-                        (SELECT count(DISTINCT event_type) FROM events))) AS n_all_types
+                        (SELECT count(DISTINCT event_type) FROM events))) AS n_all_types,
+              (SELECT count(*) FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM s)) AS n_both,
+              (SELECT count(*) FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM s)) AS n_click_only,
+              (SELECT count(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM s)) AS n_either
         """,
         "text_line_dedup": """
             WITH d2 AS (
@@ -1206,14 +1271,6 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_lines,
                    count(*) FILTER (WHERE dup) AS n_dropped
             FROM flagged GROUP BY doc_id ORDER BY doc_id
-        """,
-        "theta_set_ops": """
-            WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
-                 s AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
-            SELECT
-              (SELECT count(*) FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM s)) AS n_both,
-              (SELECT count(*) FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM s)) AS n_click_only,
-              (SELECT count(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM s)) AS n_either
         """,
         "sketch_bounds_exact": """
             SELECT 'th:' || event_type AS item,
@@ -1522,11 +1579,32 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
             ORDER BY estimate DESC, str
         """,
-        "fi_heavy_event_types": """
-            SELECT event_type AS str,
+        "fi_heavy_merge": """
+            SELECT 'd:' || event_type AS item,
                    count(*) AS estimate, count(*) AS lower_bound, count(*) AS upper_bound
             FROM events GROUP BY event_type HAVING count(*) > 1500
-            ORDER BY estimate DESC, str
+            UNION ALL
+            SELECT 'm:' || event_type,
+                   count(*), count(*), count(*)
+            FROM events GROUP BY event_type
+            ORDER BY item
+        """,
+        "text_packing": """
+            SELECT count(*) AS n_docs,
+                   count(*) FILTER (WHERE length(text) > 2000) AS n_oversize,
+                   sum(length(text))::BIGINT AS total_len,
+                   1 AS caps_ok, 1 AS util_ok
+            FROM documents
+        """,
+        "url_domain_cap": """
+            WITH u AS (
+              SELECT 'https://www.host' || (doc_id % 20) || '.org/p' || doc_id AS url,
+                     'host' || (doc_id % 20) || '.org' AS domain
+              FROM documents),
+            r AS (SELECT domain, url,
+                         row_number() OVER (PARTITION BY domain ORDER BY url) AS rn
+                  FROM u)
+            SELECT domain, url FROM r WHERE rn <= 5 ORDER BY domain, url
         """,
         "fi_weighted_sources": """
             -- CAST: DuckDB sum(BIGINT) yields HUGEINT (int128); the driver's
@@ -1536,12 +1614,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS lower_bound,
                    CAST(sum(n_chars) AS BIGINT) AS upper_bound
             FROM documents GROUP BY source HAVING sum(n_chars) > 0
-            ORDER BY estimate DESC, str
-        """,
-        "fi_merge": """
-            SELECT event_type AS str,
-                   count(*) AS estimate, count(*) AS lower_bound, count(*) AS upper_bound
-            FROM events GROUP BY event_type
             ORDER BY estimate DESC, str
         """,
         "aod_moments": """

@@ -75,11 +75,11 @@ DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data")
 # dedup_exact_by_hash -> dedup_exact, text_quality -> text_tokens_quality)
 HEADLINE = [
     "theta_distinct_users_by_type",
-    "theta_reaggregate",  # round-3 merge: union+intersection reaggregate in one gate
+    "theta_algebra",  # round-3 merges: union+intersection reaggregate, then pairwise set ops
     "hll_distinct_langs_by_source",
     "kll_rank_median_minmax",
     "kll_merge_median",
-    "fi_heavy_event_types",
+    "fi_heavy_merge",  # round-3 merge: heavy hitters + merge-rebuild in one gate
     "aod_moments",
     "dedup_exact",
     "dedup_minhash_lsh",

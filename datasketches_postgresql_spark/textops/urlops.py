@@ -90,3 +90,90 @@ def dedup_by_url(
         .where(F.col("__rn") == 1)
         .drop("__rn", "__ckey")
     )
+
+
+# -- per-domain quotas ---------------------------------------------------------
+
+# common multi-label public suffixes for the registrable-domain heuristic
+# (a pragmatic subset of the Public Suffix List's two-level entries; the
+# full PSL is a data file this sandbox doesn't ship — callers with one can
+# pass extra suffixes)
+_TWO_LEVEL_SUFFIXES = (
+    "co.uk org.uk ac.uk gov.uk com.au net.au org.au com.br com.cn com.mx "
+    "co.jp ne.jp or.jp co.kr co.in co.nz co.za com.sg com.tw com.tr com.ar"
+).split()
+
+
+def registrable_domain(url: Column, extra_suffixes: list[str] | None = None) -> Column:
+    """The registrable domain ('example.co.uk' from
+    'https://a.b.example.co.uk/x') — the key web pipelines cap, rate and
+    attribute by. Heuristic: last two host labels, or last three when the
+    two-label tail is a known public suffix. Pure native expressions."""
+    host = F.lower(
+        F.regexp_extract(F.trim(url), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#@]*@)?([^/?#:]*)", 2)
+    )
+    host = F.when(host == "", F.lower(F.trim(url))).otherwise(host)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    two = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    three = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    suffixes = list(_TWO_LEVEL_SUFFIXES) + list(extra_suffixes or [])
+    is_two_level_suffix = two.isin(suffixes)
+    return (
+        F.when(n <= 2, host)
+        .when(is_two_level_suffix & (n >= 3), three)
+        .otherwise(two)
+    )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    url_col: str = "url",
+    max_docs: int = 1000,
+    quality_col: str | None = None,
+    mode: str = "rank",
+    seed: int = 31,
+) -> DataFrame:
+    """At most ``max_docs`` rows per registrable domain — the standard
+    anti-spam / diversity quota (a handful of mirror and SEO domains can
+    otherwise dominate a crawl snapshot). Deterministic across layouts.
+
+    mode="rank" (exact): keep the top rows per domain by
+    (quality_col desc, url) — one window over the 8-byte domain hash.
+    Right when domains are crawl-sized.
+
+    mode="hash" (skew-safe): per-domain counts (one agg) broadcast back,
+    then keep rows whose url hash falls in the keep-fraction — NO
+    per-domain sort, so a pathological 10^9-page domain costs a scan, not
+    an ordering. The cap is approximate (binomial around max_docs) and
+    selection ignores quality; right for adversarial skew."""
+    dom = registrable_domain(F.col(url_col))
+    keyed = df.withColumn("__dkey", F.xxhash64(dom))
+    if mode == "rank":
+        order = (
+            [F.desc(quality_col), F.asc(url_col)]
+            if quality_col is not None
+            else [F.asc(url_col)]
+        )
+        w = Window.partitionBy("__dkey").orderBy(*order)
+        return (
+            keyed.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max_docs)
+            .drop("__rn", "__dkey")
+        )
+    if mode != "hash":
+        raise ValueError(f"unknown mode {mode!r} (expected 'rank' | 'hash')")
+    counts = keyed.groupBy("__dkey").agg(F.count(F.lit(1)).alias("__dn"))
+    u64 = 2**64
+    keep_frac = F.least(F.lit(1.0), F.lit(float(max_docs)) / F.col("__dn"))
+    # unsigned view of the signed xxhash64: shift into [0, 1)
+    r = (F.xxhash64(F.col(url_col), F.lit(seed)).cast("double") + F.lit(u64 / 2)) / F.lit(
+        float(u64)
+    )
+    return (
+        keyed.join(F.broadcast(counts), "__dkey")
+        .where(r < keep_frac)
+        .drop("__dkey", "__dn")
+    )

@@ -838,3 +838,51 @@ class TestStreamingLineDedup:
         assert got[100]["n_dropped"] == 1
         assert got[101]["text_deduped"] == "no boilerplate at all"
         assert got[101]["n_dropped"] == 0
+
+
+class TestDomainCaps:
+    def test_registrable_domain_rules(self, spark):
+        from datasketches_postgresql_spark.textops.urlops import registrable_domain
+
+        rows = [
+            ("https://a.b.example.com/x", "example.com"),
+            ("http://news.example.co.uk/y?z=1", "example.co.uk"),
+            ("https://example.org", "example.org"),
+            ("https://user@sub.shop.example.com.au:8080/p", "example.com.au"),
+            ("http://localhost/x", "localhost"),
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+        got = df.select(registrable_domain(F.col("url")).alias("d")).collect()
+        assert [r["d"] for r in got] == [d for _, d in rows]
+
+    def test_rank_mode_keeps_best_and_caps(self, spark):
+        from datasketches_postgresql_spark.textops.urlops import cap_per_domain
+
+        rows = [
+            (f"https://spam.example.com/p{i}", float(i % 7)) for i in range(40)
+        ] + [(f"https://ok{i}.org/x", 1.0) for i in range(5)]
+        df = spark.createDataFrame(rows, "url string, q double")
+        out = cap_per_domain(df, "url", max_docs=3, quality_col="q").collect()
+        by_dom = {}
+        for r in out:
+            dom = "example.com" if "spam" in r["url"] else r["url"]
+            by_dom.setdefault(dom, []).append(r)
+        assert len(by_dom["example.com"]) == 3
+        assert all(r["q"] == 6.0 for r in by_dom["example.com"])  # top quality kept
+        assert sum(1 for d in by_dom if d != "example.com") == 5  # small domains whole
+
+    def test_hash_mode_caps_without_sort_and_is_stable(self, spark):
+        from datasketches_postgresql_spark.textops.urlops import cap_per_domain
+
+        rows = [(f"https://big.example.com/p{i}",) for i in range(2000)] + [
+            (f"https://tiny{i}.org/x",) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "url string")
+        out = cap_per_domain(df, "url", max_docs=100, mode="hash")
+        kept = out.collect()
+        big = [r for r in kept if "big.example" in r["url"]]
+        # binomial around 100: 3-sigma band
+        assert 60 <= len(big) <= 140, len(big)
+        assert sum(1 for r in kept if "tiny" in r["url"]) == 10
+        again = sorted(r["url"] for r in cap_per_domain(df.repartition(7), "url", max_docs=100, mode="hash").collect())
+        assert again == sorted(r["url"] for r in kept)

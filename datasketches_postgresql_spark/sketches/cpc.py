@@ -48,6 +48,16 @@ DEFAULT_LG_K = 11  # src/cpc_sketch_pg_functions.c:30
 _MAGIC = 0x43
 _MAX_COL = 63
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint32)
+
+
+def popcount64(arr: np.ndarray) -> int:
+    """Total set bits of a u64 array (byte-LUT gather — numpy < 2.0 has no
+    bitwise_count ufunc and the bin() fallback dominated profiles)."""
+    if arr.size == 0:
+        return 0
+    return int(_POP8[np.ascontiguousarray(arr).view(np.uint8)].sum())
+
 
 def _coupons_from_hashes(values: np.ndarray, lg_k: int) -> np.ndarray:
     """uint64 hashes -> unique u32 coupons (row<<6 | col)."""
@@ -111,9 +121,7 @@ def deserialize(buf: bytes) -> tuple[int, np.ndarray]:
 
 
 def _pack(lg_k: int, dense: np.ndarray) -> bytes:
-    n_coupons = int(np.bitwise_count(dense).sum()) if hasattr(np, "bitwise_count") else int(
-        sum(bin(int(x)).count("1") for x in dense)
-    )
+    n_coupons = popcount64(dense)
     if n_coupons * 4 + 4 < dense.size * 8 and n_coupons <= 2 * dense.size:
         return serialize(lg_k, _coupons_from_dense(dense), None)
     return serialize(lg_k, None, dense)

@@ -213,23 +213,49 @@ class _BitReader:
 # -- pair and window codecs ----------------------------------------------------
 
 
+def _scatter_bits(offsets: np.ndarray, values: np.ndarray, total_bits: int) -> np.ndarray:
+    """OR each value (<= 30 bits) into an LSB-first bitstream at its bit
+    offset; returns the u32 word array. One pair of OR-scatters — a value
+    at offset o lands in 32-bit words o>>5 and (o>>5)+1."""
+    n_words = (total_bits + 31) >> 5
+    acc = np.zeros(n_words + 1, dtype=np.uint64)
+    word = (offsets >> 5).astype(np.int64)
+    shift = (offsets & 31).astype(np.uint64)
+    contrib = values.astype(np.uint64) << shift
+    np.bitwise_or.at(acc, word, contrib & np.uint64(0xFFFFFFFF))
+    np.bitwise_or.at(acc, word + 1, contrib >> np.uint64(32))
+    return acc[:n_words].astype("<u4")
+
+
 def _compress_pairs(pairs: np.ndarray, base_bits: int) -> np.ndarray:
+    """Vectorized pair encoder: deltas, code lookups, bit offsets (cumsum)
+    and two OR-scatters — no per-pair Python. Unary high parts are a
+    single 1-bit at a computed offset (runs of zeros are implicit)."""
+    if pairs.size == 0:
+        return _BitWriter().finish(max(0, 10 - base_bits))
     enc65 = _tables()["llu_encoding_65"]
-    w = _BitWriter()
-    pred_row, pred_col = 0, 0
-    for rc in pairs:
-        rc = int(rc)
-        row, col = rc >> 6, rc & 63
-        if row != pred_row:
-            pred_col = 0
-        x_delta = col - pred_col
-        y_delta = row - pred_row
-        pred_row, pred_col = row, col + 1
-        code = int(enc65[x_delta])
-        w.put(code & 0xFFF, code >> 12)
-        w.put_unary(y_delta >> base_bits)
-        w.put(y_delta & ((1 << base_bits) - 1), base_bits)
-    return w.finish(max(0, 10 - base_bits))
+    rc = pairs.astype(np.int64)
+    rows, cols = rc >> 6, rc & 63
+    y_delta = np.empty_like(rows)
+    y_delta[0] = rows[0]
+    y_delta[1:] = rows[1:] - rows[:-1]
+    pred_col = np.empty_like(cols)
+    pred_col[0] = 0
+    pred_col[1:] = np.where(y_delta[1:] == 0, cols[:-1] + 1, 0)
+    x_delta = cols - pred_col
+    codes = enc65[x_delta].astype(np.int64)
+    code_len, code_val = codes >> 12, codes & 0xFFF
+    hi = y_delta >> base_bits
+    lo = (y_delta & ((1 << base_bits) - 1)).astype(np.int64)
+    # per-pair layout: [code][hi zeros][1][lo bits]
+    pair_bits = code_len + hi + 1 + base_bits
+    starts = np.zeros(len(rc), dtype=np.int64)
+    np.cumsum(pair_bits[:-1], out=starts[1:])
+    total = int(starts[-1] + pair_bits[-1])
+    # merge the unary terminator into the lo field: bit 0 of (1 | lo<<1)
+    offs = np.concatenate([starts, starts + code_len + hi])
+    vals = np.concatenate([code_val, 1 | (lo << 1)])
+    return _scatter_bits(offs, vals, total + max(0, 10 - base_bits))
 
 
 def _uncompress_pairs(words: np.ndarray, num_pairs: int, base_bits: int) -> np.ndarray:
@@ -254,12 +280,15 @@ def _uncompress_pairs(words: np.ndarray, num_pairs: int, base_bits: int) -> np.n
 
 
 def _compress_window(window: np.ndarray, pseudo_phase: int) -> np.ndarray:
+    """Vectorized window encoder: one table gather + cumsum offsets + the
+    two OR-scatters (k symbols, zero per-byte Python)."""
     enc = _tables()["encoding_high"][pseudo_phase]
-    w = _BitWriter()
-    for b in window:
-        code = int(enc[int(b)])
-        w.put(code & 0xFFF, code >> 12)
-    return w.finish(11)
+    codes = enc[window.astype(np.int64)].astype(np.int64)
+    lens, vals = codes >> 12, codes & 0xFFF
+    starts = np.zeros(len(codes), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    total = int(starts[-1] + lens[-1]) if len(codes) else 0
+    return _scatter_bits(starts, vals, total + 11)
 
 
 def _uncompress_window(words: np.ndarray, k: int, pseudo_phase: int) -> np.ndarray:
@@ -303,9 +332,7 @@ def serialize_canonical(sketch: bytes, seed: int = DEFAULT_SEED) -> bytes:
     with no HIP state — the same thing a CpcUnion result serializes to)."""
     lg_k, matrix = _c.deserialize(sketch)
     k = 1 << lg_k
-    c = int(np.bitwise_count(matrix).sum()) if hasattr(np, "bitwise_count") else int(
-        sum(bin(int(x)).count("1") for x in matrix)
-    )
+    c = _c.popcount64(matrix)
     seed_hash = compute_seed_hash(seed)
     flavor = determine_flavor(lg_k, c)
     if flavor == "empty":

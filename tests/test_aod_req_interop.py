@@ -1,9 +1,10 @@
 """AOD + REQ DataSketches wire-format interop tests.
 
-Same validation standard as tests/test_interop.py: no datasketches library
-exists in this environment, so ground truth is structural (the publicly
-documented layouts) plus lossless round-trip, exercised in both the exact
-and estimation regimes."""
+Structural layer (documented layouts + lossless round-trip, exact and
+estimation regimes); the LIVE verification against the datasketches-java
+bundled in Spark's jars lives in tests/test_jvm_groundtruth.py — which is
+what caught the AOD offset-24 padding and the REQ compactor-record field
+order these tests now pin."""
 
 import struct
 

@@ -504,12 +504,12 @@ def q_fi_wire_roundtrip(spark, sf_dir):
 
 
 def q_text_packing(spark, sf_dir):
-    """Sequence packing (textops/packing.py — FFD bin packing of docs into
+    """Sequence packing (textops/packing.py — best-fit-decreasing bin packing of docs into
     fixed token budgets, the pretraining batch-prep op). SQL cannot express
-    FFD, so the gate asserts the invariants that define a correct packing
+    decreasing-fit packing, so the gate asserts the invariants that define a correct packing
     and returns SQL-checkable totals: every doc exactly once (n_docs),
     length conservation (total_len), the exact oversize set (n_oversize),
-    every regular bin within budget (caps_ok) and FFD pulling its weight
+    every regular bin within budget (caps_ok) and the packer pulling its weight
     (utilization >= 0.75, far above first-fit's worst case)."""
     from datasketches_postgresql_spark.textops import packing as PKG
 

@@ -56,7 +56,7 @@ class TestPackDocuments:
         assert chk.where("s != f").count() == 0
 
     def test_utilization_beats_naive_bound(self, spark, docs):
-        """FFD must land well above the trivial half-full guarantee; with
+        """BFD must land well above the trivial half-full guarantee; with
         this length mix it packs >85%."""
         a = PK.pack_documents(docs, "doc_id", "n_tokens", self.BUDGET, num_partitions=8)
         m = PK.packing_stats(a, self.BUDGET).collect()[0]

@@ -481,3 +481,35 @@ def build_murmur(keys: np.ndarray, lg_k: int = _c.DEFAULT_LG_K,
     """Ecosystem-compatible CPC build over u64 keys (internal format)."""
     coupons = coupons_murmur(keys, lg_k, seed)
     return _c._pack(lg_k, _c._dense_from_coupons(coupons, lg_k))
+
+
+def reduce_lg_k(sketch: bytes, new_lg_k: int) -> bytes:
+    """Downsample an ecosystem-mapped CPC matrix to a smaller lgK — what
+    CpcUnion does when it meets a smaller sketch. In the ecosystem coupon
+    mapping the COLUMN is clz(h2), independent of lgK, so dropping a row
+    bit merges row i with row i + k' (bitwise OR of the halves), exactly
+    the library's K reduction. Valid ONLY for matrices whose coupons came
+    from the ecosystem mapping (build_murmur / deserialize_canonical);
+    the internal xxhash64 build derives columns from post-row hash bits,
+    which a row fold would silently corrupt — use cpc_sketch_build_compat
+    when cross-lgK unions are in play."""
+    lg_k, matrix = _c.deserialize(sketch)
+    if new_lg_k > lg_k:
+        raise ValueError(f"cannot grow lg_k {lg_k} -> {new_lg_k}")
+    while lg_k > new_lg_k:
+        half = matrix.size >> 1
+        matrix = matrix[:half] | matrix[half:]
+        lg_k -= 1
+    return _c._pack(new_lg_k, matrix)
+
+
+def union_canonical(sketches: list[bytes]) -> bytes:
+    """OR-union of ecosystem-mapped sketches with possibly DIFFERENT lgK:
+    reduce every matrix to the minimum lgK first (the CpcUnion rule), then
+    fold. Same-lgK inputs go straight to the kernel union."""
+    parts = [s for s in sketches if s is not None]
+    if not parts:
+        return _c.build(np.empty(0, dtype=np.uint64), _c.DEFAULT_LG_K)
+    lgks = [_c.deserialize(s)[0] for s in parts]
+    target = min(lgks)
+    return _c.union([reduce_lg_k(s, target) for s in parts], target)

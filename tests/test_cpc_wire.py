@@ -100,3 +100,18 @@ class TestCpcWireSpark:
             """
         ).collect()[0]
         assert abs(row["est"] - 4000) / 4000 < 0.05
+
+
+class TestCrossLgK:
+    def test_reduce_and_union_estimates(self):
+        a = CI.build_murmur(np.arange(0, 30000, dtype=np.uint64), 12)
+        b = CI.build_murmur(np.arange(20000, 50000, dtype=np.uint64), 10)
+        u = CI.union_canonical([a, b])
+        lgk, _ = C.deserialize(u)
+        assert lgk == 10  # reduced to the minimum
+        assert abs(C.get_estimate(u) - 50000) / 50000 < 0.05
+        # reduction alone preserves the estimate class
+        r = CI.reduce_lg_k(a, 10)
+        assert abs(C.get_estimate(r) - 30000) / 30000 < 0.05
+        with pytest.raises(ValueError, match="grow"):
+            CI.reduce_lg_k(b, 12)

@@ -389,3 +389,29 @@ class TestCpcWireGroundTruth:
         alone = jvm.org.apache.datasketches.cpc.CpcUnion(lgk)
         alone.update(js)
         assert merged.getEstimate() == alone.getResult().getEstimate()
+
+
+class TestCpcCrossLgKUnion:
+    def test_reduce_matches_library_union(self, jvm):
+        """Union of lgK-12 and lgK-10 sketches: our row-fold reduction must
+        land on the library's own cross-K union result EXACTLY (byte
+        identity of the merged image at the reduced lgK)."""
+        from datasketches_postgresql_spark.sketches import cpc_interop as CI
+
+        big = jvm.org.apache.datasketches.cpc.CpcSketch(12)
+        small = jvm.org.apache.datasketches.cpc.CpcSketch(10)
+        for i in range(30000):
+            big.update(i)
+        for i in range(20000, 50000):
+            small.update(i)
+        u = jvm.org.apache.datasketches.cpc.CpcUnion(12)
+        u.update(big)
+        u.update(small)
+        img_java = bytes(u.getResult().toByteArray())
+        ours = CI.union_canonical(
+            [
+                CI.build_murmur(np.arange(30000, dtype=np.uint64), 12),
+                CI.build_murmur(np.arange(20000, 50000, dtype=np.uint64), 10),
+            ]
+        )
+        assert CI.serialize_canonical(ours) == img_java

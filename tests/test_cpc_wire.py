@@ -25,7 +25,7 @@ class TestCpcCanonicalCodec:
         img = CI.serialize_canonical(sk)
         back = CI.deserialize_canonical(img)
         assert np.array_equal(_matrix(sk), _matrix(back)), (
-            CI.determine_flavor(11, int(np.bitwise_count(_matrix(sk)).sum()))
+            CI.determine_flavor(11, C.popcount64(_matrix(sk)))
         )
 
     def test_preamble_and_size(self):

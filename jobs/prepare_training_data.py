@@ -1,0 +1,142 @@
+"""End-to-end training-data preparation: crawl pages in, packed training
+shards out. Chains every tier the engine ships, in the order a production
+pretraining pipeline runs them:
+
+  1. dedup        DedupPipeline (extract, MinHash/SimHash/LSH, substring,
+                  connected components) -> keep each cluster's
+                  representative (url or quality policy)
+  2. clean        PII redaction (regex cascade, zero-shuffle projection)
+  3. filter       Gopher-rules composite quality filter
+  4. decontaminate drop docs sharing word n-grams with an eval benchmark
+                  (optional --benchmark parquet with (bench_id, text))
+  5. pack         best-fit-decreasing token-budget bins (token count =
+                  BPE-ish pre-tokenizer), assignment joined back by id
+  6. split        deterministic hash-bucket train/val assignment (stable
+                  across partitioning, parallelism and reruns)
+  7. write        parquet shards partitioned by split, plus ONE JSON line
+                  of per-tier survivor counts (the lineage a 100 TB run
+                  logs per checkpoint)
+
+Usage:
+  python jobs/prepare_training_data.py --generate 8000 \
+      --checkpoint /tmp/prep_ck --output /tmp/prep_out \
+      [--benchmark bench.parquet] [--budget 2048] [--val-frac 0.01] \
+      [--master local[32]] [--resume]
+
+Every stage is a DataFrame transform over the dedup pipeline's
+checkpointed tables, so a rerun with --resume reuses the expensive dedup
+stages and only replays the cheap projections.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", help="webpages parquet (url, warc_ts, html, text, lang)")
+    ap.add_argument("--generate", type=int, default=0,
+                    help="generate a synthetic corpus of N docs instead of --input")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--output", required=True, help="output dir for packed shards")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--benchmark", help="eval-set parquet (bench_id, text) to decontaminate against")
+    ap.add_argument("--budget", type=int, default=2048, help="tokens per packed bin")
+    ap.add_argument("--val-frac", type=float, default=0.01)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--representative", default="quality", choices=("url", "quality"))
+    args = ap.parse_args()
+
+    from datasketches_postgresql_spark.dedup.pipeline import DedupConfig, DedupPipeline
+    from datasketches_postgresql_spark.session import get_spark
+    from datasketches_postgresql_spark.textops.analysis import bpe_token_count, gopher_filter
+    from datasketches_postgresql_spark.textops.packing import pack_documents, packing_stats
+    from datasketches_postgresql_spark.textops.pii import redact_pii
+    from datasketches_postgresql_spark.textops.split import hash_split
+
+    spark = get_spark("prepare-training-data", master=args.master)
+    if args.generate:
+        from datasketches_postgresql_spark.sources.corpus import generate_corpus_distributed
+
+        pages = generate_corpus_distributed(spark, args.generate)
+    else:
+        pages = spark.read.parquet(args.input)
+
+    counts: dict[str, int] = {}
+
+    # 1. dedup -> representatives only, with their extracted text
+    pipe = DedupPipeline(
+        spark, args.checkpoint, DedupConfig(representative_policy=args.representative)
+    )
+    out = pipe.run(pages, resume=args.resume)
+    reps = out["resolved"].where("is_representative").select("doc_id", "cluster_id")
+    text = out["extracted"].select("doc_id", "url", "lang", "text")
+    docs = text.join(reps, "doc_id")
+    counts["extracted"] = text.count()
+    counts["after_dedup"] = reps.count()  # ids only — no text pass
+
+    # 2. PII redaction (projection; original text never leaves the job)
+    docs = docs.withColumn("text", redact_pii(F.col("text")))
+
+    # 3. quality filter; materialize ONCE — the redact + filter projection
+    # feeds the count, the token pass, the pack join and the shard write
+    docs = gopher_filter(docs, "text", min_words=30).where("keep").drop("keep").persist()
+    counts["after_quality"] = docs.count()
+
+    # 4. benchmark decontamination (optional)
+    if args.benchmark:
+        from datasketches_postgresql_spark.textops.decontaminate import decontaminate
+
+        bench = spark.read.parquet(args.benchmark)
+        hits = decontaminate(docs, bench, doc_id="doc_id", doc_text="text")
+        docs = docs.join(hits.select("doc_id"), "doc_id", "left_anti")
+        counts["after_decontaminate"] = docs.count()
+
+    # 5. token counts + packing (lengths shuffle; text joins back by id)
+    if args.benchmark:
+        docs = docs.persist()  # the anti-join re-plans the persisted base
+    docs = docs.withColumn("n_tokens", bpe_token_count(F.col("text")))
+    assignment = pack_documents(docs, "doc_id", "n_tokens", args.budget)
+    stats = packing_stats(assignment, args.budget).collect()[0]
+    packed = docs.join(
+        assignment.select(
+            F.col("id").alias("doc_id"), "bin_id", "bin_fill", "oversize"
+        ),
+        "doc_id",
+    )
+
+    # 6. deterministic split — keyed on bin_id so a bin never straddles
+    # train/val (packed sequences are the training unit, not documents)
+    packed = hash_split(packed, {"train": 1.0 - args.val_frac, "val": args.val_frac},
+                        id_col="bin_id")
+
+    # 7. shards partitioned by split, bucketed-friendly ordering inside
+    (packed
+     .repartition("split", F.pmod(F.col("bin_id"), F.lit(16)))
+     .sortWithinPartitions("bin_id")
+     .write.mode("overwrite").partitionBy("split").parquet(args.output))
+
+    written = spark.read.parquet(args.output)
+    counts["train_docs"] = written.where("split = 'train'").count()
+    counts["val_docs"] = written.where("split = 'val'").count()
+    summary = {
+        **counts,
+        "n_bins": int(stats["n_bins"]),
+        "n_oversize": int(stats["n_oversize"]),
+        "utilization": float(stats["utilization"]),
+        "budget": args.budget,
+        "output": args.output,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

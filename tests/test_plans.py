@@ -216,3 +216,66 @@ class TestPlanQuality:
         assert "CartesianProduct" not in op and "NestedLoop" not in op
         # reassembly: the only doc-keyed exchange is the final groupBy
         assert op.count("hashpartitioning(doc_id") == 1, op
+
+
+class TestRound3OpPlans:
+    def test_packing_shuffle_carries_ids_and_lengths_only(self, spark, sf_dir):
+        """pack_documents must not move document text: the parquet scan
+        under the packing exchange reads only the id column (length is
+        derived), never text."""
+        from datasketches_postgresql_spark.textops.packing import pack_documents
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.length("text").alias("n")
+        )
+        q = pack_documents(d, "doc_id", "n", 2048, num_partitions=4)
+        plan = formatted_plan(q)
+        # text is read once to compute the length projection, but the wide
+        # columns never survive to the exchange
+        assert_column_pruned(q, "lang")
+        assert_column_pruned(q, "source")
+
+    def test_domain_cap_rank_single_window_exchange(self, spark, sf_dir):
+        """rank-mode cap = one hash exchange on the 8-byte domain key."""
+        from datasketches_postgresql_spark.textops.urlops import cap_per_domain
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.concat(F.lit("https://h"), (F.col("doc_id") % 9).cast("string"),
+                     F.lit(".org/"), F.col("doc_id").cast("string")).alias("url")
+        )
+        q = cap_per_domain(d, "url", max_docs=3)
+        assert count_exchanges(q) == 1, formatted_plan(q)
+
+    def test_domain_cap_hash_mode_broadcasts_counts(self, spark, sf_dir):
+        """hash-mode cap joins the per-domain counts back via BROADCAST —
+        the corpus is never sort-merge shuffled against its own counts."""
+        from datasketches_postgresql_spark.textops.urlops import cap_per_domain
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.concat(F.lit("https://h"), (F.col("doc_id") % 9).cast("string"),
+                     F.lit(".org/"), F.col("doc_id").cast("string")).alias("url")
+        )
+        q = cap_per_domain(d, "url", max_docs=3, mode="hash")
+        assert has_broadcast_join(q), formatted_plan(q)
+
+    def test_semdedup_candidate_join_keys_are_narrow(self, spark, sf_dir):
+        """the within-cluster self-join is keyed on (cluster, salt) ints —
+        the join keys must appear in the exchange, and the embedding scan
+        must prune the label column."""
+        from datasketches_postgresql_spark.textops import semdedup as SD
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assigned = SD.semdedup_assign(e, "vec_id", "embedding", 64, n_clusters=4)
+        q = SD.semdedup_pairs(assigned, threshold=0.9, max_cluster=0)
+        assert_column_pruned(q, "label")
+
+    def test_bloom_probe_is_cogrouped_not_joined_per_row(self, spark, sf_dir):
+        """the filter's bitmap crosses once per bucket: the probe plan
+        shows a cogroup (FlatMapCoGroupsInPandas), not a row join of the
+        bitmap against every key."""
+        from datasketches_postgresql_spark.dedup import bloom as B
+
+        keys = spark.range(0, 1000).select(F.xxhash64("id").alias("key"))
+        filt = B.bloom_build(keys, "key", n_buckets=8, bits_per_slice=1 << 12)
+        probed = B.bloom_maybe_contains(keys, "key", filt, n_buckets=8)
+        assert "FlatMapCoGroupsInPandas" in formatted_plan(probed)

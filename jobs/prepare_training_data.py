@@ -53,6 +53,10 @@ def main() -> None:
     ap.add_argument("--val-frac", type=float, default=0.01)
     ap.add_argument("--master", default=None)
     ap.add_argument("--representative", default="quality", choices=("url", "quality"))
+    ap.add_argument("--domain-cap", type=int, default=0, metavar="N",
+                    help="keep at most N pages per registrable domain BEFORE "
+                         "dedup (anti-spam/diversity quota; skew-safe hash "
+                         "mode so a mega-domain never sorts)")
     args = ap.parse_args()
 
     from datasketches_postgresql_spark.dedup.pipeline import DedupConfig, DedupPipeline
@@ -71,6 +75,12 @@ def main() -> None:
         pages = spark.read.parquet(args.input)
 
     counts: dict[str, int] = {}
+
+    # 0. per-domain quota (optional, before any text stage runs)
+    if args.domain_cap > 0:
+        from datasketches_postgresql_spark.textops.urlops import cap_per_domain
+
+        pages = cap_per_domain(pages, "url", max_docs=args.domain_cap, mode="hash")
 
     # 1. dedup -> representatives only, with their extracted text
     pipe = DedupPipeline(

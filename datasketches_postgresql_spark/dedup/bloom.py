@@ -112,6 +112,8 @@ def bloom_build(
             StructField("bucket", IntegerType()),
             StructField("bits", BinaryType()),
             StructField("n_keys", LongType()),
+            StructField("n_buckets", IntegerType()),
+            StructField("n_hashes", IntegerType()),
         ]
     )
 
@@ -124,6 +126,12 @@ def bloom_build(
                 "bucket": [int(pdf["__bucket"].iloc[0])],
                 "bits": [bits.tobytes()],
                 "n_keys": [int(len(np.unique(keys)))],
+                # the filter is self-describing: a probe or merge with
+                # mismatched routing/probe params would produce SILENT
+                # false negatives, so the params ride with every slice
+                # and are validated at use
+                "n_buckets": [n_buckets],
+                "n_hashes": [k],
             }
         )
 
@@ -146,6 +154,14 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         widths = {len(x) for x in pdf["bits"]}
         if len(widths) != 1:
             raise ValueError(f"mismatched slice widths {widths}: filters built with different bits_per_slice")
+        for p in ("n_buckets", "n_hashes"):
+            vals = set(pdf[p].tolist())
+            if len(vals) != 1:
+                raise ValueError(
+                    f"mismatched {p} {sorted(vals)}: merging filters built "
+                    "with different parameters would produce silent false "
+                    "negatives"
+                )
         acc = np.zeros(widths.pop(), dtype=np.uint8)
         for x in pdf["bits"]:
             acc |= np.frombuffer(x, dtype=np.uint8)
@@ -154,6 +170,8 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
                 "bucket": [int(pdf["bucket"].iloc[0])],
                 "bits": [acc.tobytes()],
                 "n_keys": [int(pdf["n_keys"].sum())],
+                "n_buckets": [int(pdf["n_buckets"].iloc[0])],
+                "n_hashes": [int(pdf["n_hashes"].iloc[0])],
             }
         )
 
@@ -164,8 +182,8 @@ def bloom_maybe_contains(
     batch: DataFrame,
     key_col: str,
     filt: DataFrame,
-    n_buckets: int = 64,
-    n_hashes: int = 7,
+    n_buckets: int | None = None,
+    n_hashes: int | None = None,
     result_col: str = "maybe_member",
 ) -> DataFrame:
     """batch + a boolean ``result_col``: False = DEFINITELY not in the
@@ -174,7 +192,30 @@ def bloom_maybe_contains(
     filter's bitmap crosses the shuffle once per bucket (cogroup), never
     per probed row. ``filt`` may be a UNION of several filters built with
     the same params (base + increments): slices sharing a bucket OR-fold
-    in the probe, so chained batch-append never rewrites old filters."""
+    in the probe, so chained batch-append never rewrites old filters.
+
+    The filter is self-describing: ``n_buckets``/``n_hashes`` default to
+    the values stored on the filter rows, and explicit arguments are
+    VALIDATED against them — a mismatch would mean silent false negatives
+    (keys routed to the wrong slice / probing unwritten positions), the
+    one failure mode a Bloom filter must never have."""
+    stored = filt.select("n_buckets", "n_hashes").first()
+    if stored is not None:
+        if n_buckets is not None and n_buckets != stored["n_buckets"]:
+            raise ValueError(
+                f"n_buckets={n_buckets} but the filter was built with "
+                f"{stored['n_buckets']} — probing would silently miss members"
+            )
+        if n_hashes is not None and n_hashes != stored["n_hashes"]:
+            raise ValueError(
+                f"n_hashes={n_hashes} but the filter was built with "
+                f"{stored['n_hashes']} — probing would silently miss members"
+            )
+        n_buckets = stored["n_buckets"]
+        k_hashes = stored["n_hashes"]
+    else:  # empty filter: every probe is definitely-new
+        n_buckets = n_buckets or 64
+        k_hashes = n_hashes or 7
     probe_schema = StructType(
         [StructField("__key", LongType()), StructField(result_col, BooleanType())]
     )
@@ -191,7 +232,7 @@ def bloom_maybe_contains(
         bits = np.zeros(widths.pop(), dtype=np.uint8)
         for x in right["bits"]:
             bits |= np.frombuffer(x, dtype=np.uint8)
-        got = _test(bits, keys.view(np.uint64), len(bits) << 3, n_hashes)
+        got = _test(bits, keys.view(np.uint64), len(bits) << 3, k_hashes)
         return pd.DataFrame({"__key": keys, result_col: got})
 
     keyed = batch.select(

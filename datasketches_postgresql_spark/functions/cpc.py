@@ -143,21 +143,36 @@ def cpc_sketch_build_compat(
     row = h1 low lgK bits, col = clz(h2) — CpcSketch.update's mapping):
     sketches built here have matrices IDENTICAL to library-built ones over
     the same keys, so exports union exactly with Druid / Hive /
-    datasketches-* sketches. Integral keys canonicalize to 8-byte LE."""
+    datasketches-* sketches. Integral keys canonicalize to 8-byte LE
+    (vectorized murmur); everything else to UTF-8 strings — the same dtype
+    branch as theta_sketch_build_compat, so a string column hits
+    update(String)'s hash path rather than a silent cast-to-long."""
+    from pyspark.sql.types import IntegerType as _Int
+    from pyspark.sql.types import LongType as _Long
+    from pyspark.sql.types import ShortType as _Short
+
     from ..operators.agg import keep_group_keys
     from ..sketches import cpc_interop as _ci
 
-    proj = df.where(F.col(col).isNotNull()).select(
-        *group_cols, F.col(col).cast("long").alias(_H)
-    )
+    dtype = df.schema[col].dataType
+    numeric = isinstance(dtype, (_Long, _Int, _Short))
+    val = F.col(col).cast("long") if numeric else F.col(col).cast("string")
+    proj = df.where(F.col(col).isNotNull()).select(*group_cols, val.alias(_H))
+
+    if numeric:
+        def partial(pdf: pd.DataFrame) -> bytes:
+            return _ci.build_murmur(
+                pdf[_H].to_numpy(dtype=np.int64).astype(np.uint64), lg_k
+            )
+    else:
+        def partial(pdf: pd.DataFrame) -> bytes:
+            return _ci.build_murmur_strings(pdf[_H], lg_k)
 
     agg = sketch_groupby_agg(
         proj,
         group_cols,
         [_H],
-        partial_fn=lambda pdf: _ci.build_murmur(
-            pdf[_H].to_numpy(dtype=np.int64).astype(np.uint64), lg_k
-        ),
+        partial_fn=partial,
         merge_fn=lambda states: _c.union(states, lg_k),
         finalize_fn=lambda b: {out_col: b},
         out_fields=[StructField(out_col, BinaryType())],

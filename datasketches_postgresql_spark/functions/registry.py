@@ -241,7 +241,17 @@ def register_all(spark: SparkSession) -> None:
     def cpc_sketch_union_agg(s: pd.Series) -> bytes:  # type: ignore[misc]
         return _cpc.union([bytes(b) for b in s if b is not None])
 
+    @F.pandas_udf(BinaryType())
+    def cpc_sketch_build_compat(v: pd.Series) -> bytes:  # type: ignore[misc]
+        from ..sketches import cpc_interop as _ci
+
+        vals = v.dropna()
+        if vals.dtype.kind in "iu" or str(vals.dtype).startswith("int"):
+            return _ci.build_murmur(vals.to_numpy(dtype=np.int64).astype(np.uint64))
+        return _ci.build_murmur_strings(vals)
+
     spark.udf.register("cpc_sketch_build", cpc_sketch_build)
+    spark.udf.register("cpc_sketch_build_compat", cpc_sketch_build_compat)
     spark.udf.register("cpc_sketch_distinct", cpc_sketch_distinct)
     spark.udf.register("cpc_sketch_union_agg", cpc_sketch_union_agg)
     spark.udf.register("cpc_sketch_get_estimate", cpc_fns.cpc_sketch_get_estimate)

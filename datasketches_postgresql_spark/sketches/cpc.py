@@ -33,7 +33,12 @@ stored bytea.
   p_j(n) = 1 - (1 - 2^-(j+1)/k)^n, solved by golden-section on ln n.
 
 Serialized layout (little-endian):
-    [u8 magic=0x43][u8 lg_k][u8 mode 0=sparse|1=dense]
+    [u8 magic=0x43][u8 lg_k][u8 mode: bit0 0=sparse|1=dense, bit2 set =
+     ECOSYSTEM coupon space (murmur rowCol mapping — exportable as the
+     canonical image and cross-system unionable; unset = the internal
+     xxhash64 mapping, whose coupons mean nothing to a datasketches-*
+     reader, so canonical export refuses them — the same honesty contract
+     as theta's even-hash invariant)]
     sparse: [u32 count][u32 * count coupons]
     dense:  [u64 * k bitmap rows]
 """
@@ -99,13 +104,25 @@ def _coupons_from_dense(mat: np.ndarray) -> np.ndarray:
     return np.array(sorted(out), dtype=np.uint32)
 
 
-def serialize(lg_k: int, coupons: np.ndarray | None, dense: np.ndarray | None) -> bytes:
+_COMPAT_BIT = 4
+
+
+def serialize(lg_k: int, coupons: np.ndarray | None, dense: np.ndarray | None,
+              compat: bool = False) -> bytes:
+    mode = (0 if dense is None else 1) | (_COMPAT_BIT if compat else 0)
     if dense is None:
         return (
-            struct.pack("<BBBI", _MAGIC, lg_k, 0, len(coupons))
+            struct.pack("<BBBI", _MAGIC, lg_k, mode, len(coupons))
             + np.ascontiguousarray(coupons, dtype="<u4").tobytes()
         )
-    return struct.pack("<BBB", _MAGIC, lg_k, 1) + np.ascontiguousarray(dense, dtype="<u8").tobytes()
+    return struct.pack("<BBB", _MAGIC, lg_k, mode) + np.ascontiguousarray(dense, dtype="<u8").tobytes()
+
+
+def is_compat(buf: bytes) -> bool:
+    """True when the sketch's coupons live in the ECOSYSTEM space (murmur
+    rowCol mapping) — the precondition for canonical export and cross-lgK
+    folds."""
+    return bool(buf[2] & _COMPAT_BIT)
 
 
 def deserialize(buf: bytes) -> tuple[int, np.ndarray]:
@@ -113,6 +130,7 @@ def deserialize(buf: bytes) -> tuple[int, np.ndarray]:
     magic, lg_k, mode = struct.unpack_from("<BBB", buf, 0)
     if magic != _MAGIC:
         raise ValueError("not a CPC sketch image")
+    mode &= ~_COMPAT_BIT  # coupon-space tag, orthogonal to the layout
     if mode == 0:
         (cnt,) = struct.unpack_from("<I", buf, 3)
         coupons = np.frombuffer(buf, dtype="<u4", count=cnt, offset=7)
@@ -120,11 +138,11 @@ def deserialize(buf: bytes) -> tuple[int, np.ndarray]:
     return lg_k, np.frombuffer(buf, dtype="<u8", offset=3).copy()
 
 
-def _pack(lg_k: int, dense: np.ndarray) -> bytes:
+def _pack(lg_k: int, dense: np.ndarray, compat: bool = False) -> bytes:
     n_coupons = popcount64(dense)
     if n_coupons * 4 + 4 < dense.size * 8 and n_coupons <= 2 * dense.size:
-        return serialize(lg_k, _coupons_from_dense(dense), None)
-    return serialize(lg_k, None, dense)
+        return serialize(lg_k, _coupons_from_dense(dense), None, compat)
+    return serialize(lg_k, None, dense, compat)
 
 
 def build(values: np.ndarray, lg_k: int = DEFAULT_LG_K) -> bytes:
@@ -148,7 +166,9 @@ def union(sketches: list[bytes], lg_k: int | None = None) -> bytes:
     acc = np.zeros(k, dtype=np.uint64)
     for _, mat in parts:
         acc |= mat
-    return _pack(out_lg_k, acc)
+    # a union is ecosystem-exportable only if EVERY input was
+    compat = all(is_compat(s) for s in sketches if s is not None)
+    return _pack(out_lg_k, acc, compat)
 
 
 def _column_counts(dense: np.ndarray) -> np.ndarray:

@@ -329,7 +329,17 @@ def _pattern_pairs(pattern: np.ndarray) -> np.ndarray:
 def serialize_canonical(sketch: bytes, seed: int = DEFAULT_SEED) -> bytes:
     """Internal CPC sketch -> canonical compressed DataSketches CPC image
     (a MERGED-format image: the engine's matrices are OR-merged partials
-    with no HIP state — the same thing a CpcUnion result serializes to)."""
+    with no HIP state — the same thing a CpcUnion result serializes to).
+    Only ecosystem-mapped sketches export (theta's even-hash honesty
+    contract, CPC edition): an xxhash64-built matrix would serialize into
+    a structurally valid image whose coupons silently DOUBLE-COUNT against
+    any library-built sketch."""
+    if not _c.is_compat(sketch):
+        raise ValueError(
+            "CPC sketch was built with the internal xxhash64 coupon mapping "
+            "and cannot be exported as a DataSketches image; build with "
+            "cpc_sketch_build_compat"
+        )
     lg_k, matrix = _c.deserialize(sketch)
     k = 1 << lg_k
     c = _c.popcount64(matrix)
@@ -350,9 +360,7 @@ def serialize_canonical(sketch: bytes, seed: int = DEFAULT_SEED) -> bytes:
     offset = determine_correct_offset(lg_k, c)
     window, pattern = _matrix_to_pattern(matrix, offset)
     pairs = _pattern_pairs(pattern)
-    or_all = 0
-    for p in pattern:
-        or_all |= int(p)
+    or_all = int(np.bitwise_or.reduce(pattern)) if pattern.size else 0
     tz = (or_all & -or_all).bit_length() - 1 if or_all else 64
     fi_col = min(tz, offset)
     cw = _compress_window(window, determine_pseudo_phase(lg_k, c))
@@ -396,7 +404,7 @@ def deserialize_canonical(image: bytes, seed: int = DEFAULT_SEED) -> bytes:
         raise ValueError(f"not a CPC image (family {fam}, expected 16)")
     ordinal = (flags >> 2) & 7
     if ordinal == 0 or ordinal == 1:  # EMPTY
-        return _c.serialize(lg_k, np.empty(0, dtype=np.uint32), None)
+        return _c.serialize(lg_k, np.empty(0, dtype=np.uint32), None, compat=True)
     if seed_hash != compute_seed_hash(seed):
         raise ValueError("seed hash mismatch: image built with a different update seed")
     k = 1 << lg_k
@@ -408,7 +416,11 @@ def deserialize_canonical(image: bytes, seed: int = DEFAULT_SEED) -> bytes:
         sv_off = 32 if has_hip else 16
         sv = np.frombuffer(image, dtype="<u4", count=sv_len, offset=sv_off)
         pairs = _uncompress_pairs(sv, c, golomb_base_bits(k + c, c))
-        return _c.serialize(lg_k, None, _c._dense_from_coupons(pairs, lg_k))
+        # keep the SPARSE internal form: the decoded pairs ARE the kernel's
+        # sorted-unique coupon array (a dense matrix is 8*2^lgK bytes per
+        # sketch — 512 MB at the format's max lgK 26, where the coupon list
+        # is a few KB)
+        return _c.serialize(lg_k, np.ascontiguousarray(pairs, dtype="<u4"), None, compat=True)
     offset = determine_correct_offset(lg_k, c)
     has_sv = bool(ordinal & 2)
     if not has_sv:  # NOSV
@@ -440,7 +452,7 @@ def deserialize_canonical(image: bytes, seed: int = DEFAULT_SEED) -> bytes:
             perm_dec = _tables()["col_perm_decoding"][determine_pseudo_phase(lg_k, c)]
             cols = (perm_dec[cols].astype(np.int64) + offset + 8) & 63
         np.bitwise_xor.at(matrix, rows, np.uint64(1) << cols.astype(np.uint64))
-    return _c.serialize(lg_k, None, matrix)
+    return _c.serialize(lg_k, None, matrix, compat=True)
 
 
 # -- ecosystem-compatible build (murmur rowCol mapping) -------------------------
@@ -454,6 +466,20 @@ def coupons_murmur(keys: np.ndarray, lg_k: int, seed: int = DEFAULT_SEED) -> np.
     cross-system unions are exact (proven byte-for-byte in
     tests/test_jvm_groundtruth.py)."""
     h1, h2 = hash128_u64(np.asarray(keys, dtype=np.uint64), seed=seed)
+    return _coupons_from_halves(h1, h2, lg_k)
+
+
+def coupons_murmur_strings(values, lg_k: int, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """String-key variant: UTF-8 canonicalization matching update(String) /
+    update(std::string) (nulls and empty strings are ecosystem no-ops),
+    through the vectorized Arrow-layout murmur batch."""
+    from .murmur3 import hash128_utf8_batch
+
+    h1, h2 = hash128_utf8_batch(values, seed, with_h2=True)
+    return _coupons_from_halves(h1, h2, lg_k)
+
+
+def _coupons_from_halves(h1: np.ndarray, h2: np.ndarray, lg_k: int) -> np.ndarray:
     k = np.uint64(1 << lg_k)
     rows = (h1 & (k - np.uint64(1))).astype(np.uint32)
     # clz via bit_length: vectorized int64->float tricks lose precision at
@@ -480,7 +506,14 @@ def build_murmur(keys: np.ndarray, lg_k: int = _c.DEFAULT_LG_K,
                  seed: int = DEFAULT_SEED) -> bytes:
     """Ecosystem-compatible CPC build over u64 keys (internal format)."""
     coupons = coupons_murmur(keys, lg_k, seed)
-    return _c._pack(lg_k, _c._dense_from_coupons(coupons, lg_k))
+    return _c._pack(lg_k, _c._dense_from_coupons(coupons, lg_k), compat=True)
+
+
+def build_murmur_strings(values, lg_k: int = _c.DEFAULT_LG_K,
+                         seed: int = DEFAULT_SEED) -> bytes:
+    """Ecosystem-compatible CPC build over string keys (internal format)."""
+    coupons = coupons_murmur_strings(values, lg_k, seed)
+    return _c._pack(lg_k, _c._dense_from_coupons(coupons, lg_k), compat=True)
 
 
 def reduce_lg_k(sketch: bytes, new_lg_k: int) -> bytes:
@@ -493,6 +526,13 @@ def reduce_lg_k(sketch: bytes, new_lg_k: int) -> bytes:
     the internal xxhash64 build derives columns from post-row hash bits,
     which a row fold would silently corrupt — use cpc_sketch_build_compat
     when cross-lgK unions are in play."""
+    if not _c.is_compat(sketch):
+        raise ValueError(
+            "lgK reduction is only valid for ecosystem-mapped CPC sketches "
+            "(the internal xxhash64 mapping derives columns from post-row "
+            "hash bits, which a row fold would corrupt); build with "
+            "cpc_sketch_build_compat"
+        )
     lg_k, matrix = _c.deserialize(sketch)
     if new_lg_k > lg_k:
         raise ValueError(f"cannot grow lg_k {lg_k} -> {new_lg_k}")
@@ -500,7 +540,7 @@ def reduce_lg_k(sketch: bytes, new_lg_k: int) -> bytes:
         half = matrix.size >> 1
         matrix = matrix[:half] | matrix[half:]
         lg_k -= 1
-    return _c._pack(new_lg_k, matrix)
+    return _c._pack(new_lg_k, matrix, compat=True)
 
 
 def union_canonical(sketches: list[bytes]) -> bytes:

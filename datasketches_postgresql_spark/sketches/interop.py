@@ -171,9 +171,16 @@ def build_murmur_strings(values, lg_k: int = _t.DEFAULT_LG_K, p: float = 1.0,
     try:
         h1 = hash128_utf8_batch(values, seed)
     except (pa_lib.ArrowInvalid, pa_lib.ArrowTypeError):
-        # empty strings skipped like the batch path: the ecosystem's
-        # update(String)/update(std::string) is a no-op on them
-        items = [str(v).encode("utf-8") for v in values if v is not None and str(v) != ""]
+        # empty strings skipped like the batch path (ecosystem no-op
+        # updates); NaN/NA skipped like the batch path's from_pandas null
+        # handling (str(nan) would otherwise hash a phantom 'nan' key)
+        import pandas as _pd
+
+        items = [
+            str(v).encode("utf-8")
+            for v in values
+            if v is not None and not _pd.isna(v) and str(v) != ""
+        ]
         h1 = hash128_bytes_batch(items, seed)
     hs = h1 >> np.uint64(1)
     return build_murmur_from_ds_hashes(hs, lg_k, p)

@@ -112,7 +112,15 @@ def registrable_domain(url: Column, extra_suffixes: list[str] | None = None) -> 
     host = F.lower(
         F.regexp_extract(F.trim(url), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#@]*@)?([^/?#:]*)", 2)
     )
-    host = F.when(host == "", F.lower(F.trim(url))).otherwise(host)
+    # schemeless fallback ('example.com/p', '//cdn.x.org/y'): strip any
+    # leading '//' and userinfo, and cut at the first path/query/port
+    # delimiter — otherwise every distinct path becomes its own "domain"
+    # and the cap is silently inert for exactly the spammy rows it exists
+    # to bound
+    bare = F.regexp_extract(
+        F.lower(F.trim(url)), r"^(?://)?(?:[^/?#@]*@)?([^/?#:]*)", 1
+    )
+    host = F.when(host == "", bare).otherwise(host)
     labels = F.split(host, r"\.")
     n = F.size(labels)
     two = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))

@@ -114,7 +114,10 @@ def main() -> None:
     if args.benchmark:
         docs = docs.persist()  # the anti-join re-plans the persisted base
     docs = docs.withColumn("n_tokens", bpe_token_count(F.col("text")))
-    assignment = pack_documents(docs, "doc_id", "n_tokens", args.budget)
+    # persist: the stats collect below and the shard-write join both read
+    # the assignment — without this the pack shuffle + Fenwick pass and the
+    # token-count UDF run twice
+    assignment = pack_documents(docs, "doc_id", "n_tokens", args.budget).persist()
     stats = packing_stats(assignment, args.budget).collect()[0]
     packed = docs.join(
         assignment.select(

@@ -110,3 +110,18 @@ class TestBloom:
         # 200 fresh keys over 64 buckets, only <=3 buckets populated:
         # the vast majority must come back definitely-new
         assert probed.where("NOT maybe_member").count() >= 150
+
+
+    def test_probe_params_self_describing_and_validated(self, spark, filt):
+        # defaults read from the filter rows: no params needed
+        probed = B.bloom_maybe_contains(_keys_df(spark, 0, 200), "key", filt)
+        assert probed.where("NOT maybe_member").count() == 0
+        # an explicit mismatch is an error, never a silent false negative
+        with pytest.raises(ValueError, match="n_buckets"):
+            B.bloom_maybe_contains(_keys_df(spark, 0, 10), "key", filt, n_buckets=4)
+        f5 = B.bloom_build(_keys_df(spark, 0, 50), "key", n_buckets=N_BUCKETS,
+                           bits_per_slice=SLICE_BITS, n_hashes=5)
+        with pytest.raises(ValueError, match="n_hashes"):
+            B.bloom_maybe_contains(_keys_df(spark, 0, 10), "key", f5, n_hashes=7)
+        with pytest.raises(Exception, match="n_hashes"):
+            B.bloom_merge(f5, filt).collect()

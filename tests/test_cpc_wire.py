@@ -95,11 +95,19 @@ class TestCpcWireSpark:
             """
             SELECT cpc_sketch_get_estimate(
                      cpc_sketch_from_datasketches(
-                       cpc_sketch_to_datasketches(cpc_sketch_build(xxhash64(u))))) AS est
+                       cpc_sketch_to_datasketches(cpc_sketch_build_compat(u)))) AS est
             FROM cpc_wire_t
             """
         ).collect()[0]
         assert abs(row["est"] - 4000) / 4000 < 0.05
+        # the internal xxhash64 build REFUSES canonical export (it would
+        # silently double-count against library sketches)
+        import pyspark.sql.utils as _u
+        with pytest.raises(Exception, match="cpc_sketch_build_compat"):
+            spark.sql(
+                "SELECT cpc_sketch_to_datasketches(cpc_sketch_build(xxhash64(u))) "
+                "FROM cpc_wire_t"
+            ).collect()
 
 
 class TestCrossLgK:

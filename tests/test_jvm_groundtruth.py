@@ -306,10 +306,11 @@ class TestThetaStringKeys:
 
 class TestCpcEstimatorParity:
     def test_estimates_agree_with_java_cpc(self, jvm):
-        """Estimator-class parity (wire interop for CPC is a documented
-        divergence — the compressed canonical image is not emitted): on the
-        same cardinality, our coupon-matrix ICON estimate and java's CPC
-        estimate both sit within the published error envelope."""
+        """Estimator-class parity for the INTERNAL xxhash64 coupon space
+        (the canonical-wire and coupon-identity checks live in
+        TestCpcWireGroundTruth): on the same cardinality, our
+        coupon-matrix ICON estimate and java's CPC estimate both sit
+        within the published error envelope."""
         from datasketches_postgresql_spark.sketches import cpc as C
 
         n, lg_k = 50_000, 11
@@ -415,3 +416,21 @@ class TestCpcCrossLgKUnion:
             ]
         )
         assert CI.serialize_canonical(ours) == img_java
+
+
+class TestCpcStringKeys:
+    def test_string_coupons_identical_to_library(self, jvm):
+        """update(String) parity for the compat build: byte-identical
+        merged image over UTF-8 string keys (incl. non-ASCII; empty
+        string is a no-op update both sides)."""
+        from datasketches_postgresql_spark.sketches import cpc_interop as CI
+
+        words = [f"user_{i}" for i in range(3000)] + ["héllo wörld", "日本語", ""]
+        js = jvm.org.apache.datasketches.cpc.CpcSketch(11)
+        for w in words:
+            js.update(w)
+        u = jvm.org.apache.datasketches.cpc.CpcUnion(11)
+        u.update(js)
+        img_java = bytes(u.getResult().toByteArray())
+        img_ours = CI.serialize_canonical(CI.build_murmur_strings(words, 11))
+        assert img_ours == img_java

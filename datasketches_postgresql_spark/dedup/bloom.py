@@ -195,27 +195,39 @@ def bloom_maybe_contains(
     in the probe, so chained batch-append never rewrites old filters.
 
     The filter is self-describing: ``n_buckets``/``n_hashes`` default to
-    the values stored on the filter rows, and explicit arguments are
-    VALIDATED against them — a mismatch would mean silent false negatives
-    (keys routed to the wrong slice / probing unwritten positions), the
-    one failure mode a Bloom filter must never have."""
-    stored = filt.select("n_buckets", "n_hashes").first()
-    if stored is not None:
-        if n_buckets is not None and n_buckets != stored["n_buckets"]:
+    the values stored on the filter rows (one small lookup job, skipped
+    when both are passed explicitly — explicit params keep the call
+    fully lazy), and EVERY probed bucket re-validates its stored params
+    against the probing ones inside the cogroup — a mismatch anywhere in
+    a unioned filter raises instead of silently missing members, the one
+    failure mode a Bloom filter must never have. Filters checkpointed
+    before the params columns existed still probe with explicit
+    arguments (legacy fallback, unvalidated by necessity)."""
+    self_describing = "n_buckets" in filt.columns and "n_hashes" in filt.columns
+    if n_buckets is None or n_hashes is None:
+        if not self_describing:
             raise ValueError(
-                f"n_buckets={n_buckets} but the filter was built with "
-                f"{stored['n_buckets']} — probing would silently miss members"
+                "legacy filter (no stored params): pass n_buckets and "
+                "n_hashes explicitly"
             )
-        if n_hashes is not None and n_hashes != stored["n_hashes"]:
-            raise ValueError(
-                f"n_hashes={n_hashes} but the filter was built with "
-                f"{stored['n_hashes']} — probing would silently miss members"
-            )
-        n_buckets = stored["n_buckets"]
-        k_hashes = stored["n_hashes"]
-    else:  # empty filter: every probe is definitely-new
-        n_buckets = n_buckets or 64
-        k_hashes = n_hashes or 7
+        stored = filt.select("n_buckets", "n_hashes").first()
+        if stored is None:  # empty filter: every probe is definitely-new
+            n_buckets = n_buckets or 64
+            n_hashes = n_hashes or 7
+        else:
+            if n_buckets is not None and n_buckets != stored["n_buckets"]:
+                raise ValueError(
+                    f"n_buckets={n_buckets} but the filter was built with "
+                    f"{stored['n_buckets']} — probing would silently miss members"
+                )
+            if n_hashes is not None and n_hashes != stored["n_hashes"]:
+                raise ValueError(
+                    f"n_hashes={n_hashes} but the filter was built with "
+                    f"{stored['n_hashes']} — probing would silently miss members"
+                )
+            n_buckets = stored["n_buckets"]
+            n_hashes = stored["n_hashes"]
+    k_hashes, want_buckets = n_hashes, n_buckets
     probe_schema = StructType(
         [StructField("__key", LongType()), StructField(result_col, BooleanType())]
     )
@@ -224,6 +236,18 @@ def bloom_maybe_contains(
         keys = left["__key"].to_numpy(dtype=np.int64)
         if right.empty:
             return pd.DataFrame({"__key": keys, result_col: np.zeros(len(keys), bool)})
+        if "n_hashes" in right.columns:
+            # per-bucket validation: a UNION of filters built with
+            # different params must fail loudly, not probe with one
+            # arbitrary row's parameters
+            bad_k = set(right["n_hashes"].tolist()) - {k_hashes}
+            bad_b = set(right["n_buckets"].tolist()) - {want_buckets}
+            if bad_k or bad_b:
+                raise ValueError(
+                    f"filter slice built with n_hashes={sorted(bad_k) or k_hashes} "
+                    f"/ n_buckets={sorted(bad_b) or want_buckets}, probed with "
+                    f"({k_hashes}, {want_buckets}) — would silently miss members"
+                )
         widths = {len(x) for x in right["bits"]}
         if len(widths) != 1:
             raise ValueError(

@@ -246,8 +246,20 @@ def register_all(spark: SparkSession) -> None:
         from ..sketches import cpc_interop as _ci
 
         vals = v.dropna()
-        if vals.dtype.kind in "iu" or str(vals.dtype).startswith("int"):
+        if vals.dtype.kind in "iu":
             return _ci.build_murmur(vals.to_numpy(dtype=np.int64).astype(np.uint64))
+        if vals.dtype.kind == "f":
+            # Arrow renders a BIGINT column containing NULLs as float64;
+            # integral floats are those longs, anything else must be cast
+            # by the caller (update(double) canonicalization is not
+            # implemented)
+            arr = vals.to_numpy(dtype=np.float64)
+            if not np.all(arr == np.floor(arr)):
+                raise ValueError(
+                    "cpc_sketch_build_compat: non-integral numeric keys — "
+                    "cast to BIGINT or STRING first"
+                )
+            return _ci.build_murmur(arr.astype(np.int64).astype(np.uint64))
         return _ci.build_murmur_strings(vals)
 
     spark.udf.register("cpc_sketch_build", cpc_sketch_build)

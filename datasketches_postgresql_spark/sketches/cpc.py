@@ -162,13 +162,21 @@ def union(sketches: list[bytes], lg_k: int | None = None) -> bytes:
         # re-deriving columns (the compressed CPC's lgK-reduction relies on
         # its different bit layout) — refuse rather than silently bias
         raise ValueError("cpc union requires matching lg_k across sketches")
+    spaces = {is_compat(s) for s in sketches if s is not None}
+    if len(spaces) > 1:
+        # ORing matrices whose coupons came from DIFFERENT hash mappings
+        # yields ~|A|+|B|, not |A or B| — refuse rather than silently bias
+        # (the same policy as the lg_k check above)
+        raise ValueError(
+            "cpc union cannot mix ecosystem-mapped (build_compat) and "
+            "internal xxhash64-built sketches: their coupon spaces are "
+            "unrelated and the OR would double-count"
+        )
     k = 1 << out_lg_k
     acc = np.zeros(k, dtype=np.uint64)
     for _, mat in parts:
         acc |= mat
-    # a union is ecosystem-exportable only if EVERY input was
-    compat = all(is_compat(s) for s in sketches if s is not None)
-    return _pack(out_lg_k, acc, compat)
+    return _pack(out_lg_k, acc, compat=spaces.pop())
 
 
 def _column_counts(dense: np.ndarray) -> np.ndarray:

@@ -546,10 +546,14 @@ def reduce_lg_k(sketch: bytes, new_lg_k: int) -> bytes:
 def union_canonical(sketches: list[bytes]) -> bytes:
     """OR-union of ecosystem-mapped sketches with possibly DIFFERENT lgK:
     reduce every matrix to the minimum lgK first (the CpcUnion rule), then
-    fold. Same-lgK inputs go straight to the kernel union."""
+    fold. Same-lgK inputs go straight to the kernel union (lgK is read
+    from the header byte — no densify-to-peek), and the empty result is
+    ecosystem-mapped so further unions/exports keep working."""
     parts = [s for s in sketches if s is not None]
     if not parts:
-        return _c.build(np.empty(0, dtype=np.uint64), _c.DEFAULT_LG_K)
-    lgks = [_c.deserialize(s)[0] for s in parts]
+        return build_murmur(np.empty(0, dtype=np.uint64), _c.DEFAULT_LG_K)
+    lgks = [s[1] for s in parts]  # internal layout: [magic][lg_k][mode]...
     target = min(lgks)
-    return _c.union([reduce_lg_k(s, target) for s in parts], target)
+    return _c.union(
+        [s if s[1] == target else reduce_lg_k(s, target) for s in parts], target
+    )

@@ -128,8 +128,13 @@ def main() -> None:
 
     # 6. deterministic split — keyed on bin_id so a bin never straddles
     # train/val (packed sequences are the training unit, not documents)
-    packed = hash_split(packed, {"train": 1.0 - args.val_frac, "val": args.val_frac},
-                        id_col="bin_id")
+    if args.val_frac > 0:
+        packed = hash_split(
+            packed, {"train": 1.0 - args.val_frac, "val": args.val_frac},
+            id_col="bin_id",
+        )
+    else:  # --val-frac 0: everything is train, no degenerate zero weight
+        packed = packed.withColumn("split", F.lit("train"))
 
     # 7. shards partitioned by split, bucketed-friendly ordering inside
     (packed
@@ -142,9 +147,10 @@ def main() -> None:
     counts["val_docs"] = written.where("split = 'val'").count()
     summary = {
         **counts,
-        "n_bins": int(stats["n_bins"]),
-        "n_oversize": int(stats["n_oversize"]),
-        "utilization": float(stats["utilization"]),
+        # a fully-filtered corpus leaves 0-row aggregates (NULL sums)
+        "n_bins": int(stats["n_bins"] or 0),
+        "n_oversize": int(stats["n_oversize"] or 0),
+        "utilization": float(stats["utilization"] or 0.0),
         "budget": args.budget,
         "output": args.output,
     }

@@ -125,3 +125,31 @@ class TestBloom:
             B.bloom_maybe_contains(_keys_df(spark, 0, 10), "key", f5, n_hashes=7)
         with pytest.raises(Exception, match="n_hashes"):
             B.bloom_merge(f5, filt).collect()
+
+    def test_union_of_mixed_params_fails_loudly_at_probe(self, spark, filt):
+        """The documented union-append pattern must not probe with one
+        arbitrary slice's params: mixed n_hashes in a unioned filter
+        raises inside the cogroup even when the caller passes explicit
+        (lazy) params."""
+        f5 = B.bloom_build(_keys_df(spark, 0, 50), "key", n_buckets=N_BUCKETS,
+                           bits_per_slice=SLICE_BITS, n_hashes=5)
+        mixed = filt.unionByName(f5)
+        probed = B.bloom_maybe_contains(
+            _keys_df(spark, 0, 100), "key", mixed,
+            n_buckets=N_BUCKETS, n_hashes=7,
+        )
+        with pytest.raises(Exception, match="n_hashes"):
+            probed.collect()
+
+    def test_legacy_filter_without_param_columns(self, spark):
+        """Filters checkpointed before the self-describing columns existed
+        still probe with explicit params; without them the call refuses."""
+        f = B.bloom_build(_keys_df(spark, 0, 300), "key", n_buckets=8,
+                          bits_per_slice=1 << 12)
+        legacy = f.drop("n_buckets", "n_hashes")
+        probed = B.bloom_maybe_contains(
+            _keys_df(spark, 0, 300), "key", legacy, n_buckets=8, n_hashes=7
+        )
+        assert probed.where("NOT maybe_member").count() == 0
+        with pytest.raises(ValueError, match="legacy"):
+            B.bloom_maybe_contains(_keys_df(spark, 0, 10), "key", legacy)

@@ -135,10 +135,13 @@ def bloom_build(
             }
         )
 
+    # NULL keys carry no membership information and would arrive in the
+    # Arrow batch as NaN in a float64 column (crashing the int64 view) —
+    # drop them here; a NULL-keyed probe is handled symmetrically below
     keyed = df.select(
         F.col(key_col).cast("long").alias("__key"),
         _bucket(F.col(key_col), n_buckets).alias("__bucket"),
-    )
+    ).where(F.col("__key").isNotNull())
     return keyed.groupBy("__bucket").applyInPandas(build, schema)
 
 
@@ -259,10 +262,17 @@ def bloom_maybe_contains(
         got = _test(bits, keys.view(np.uint64), len(bits) << 3, k_hashes)
         return pd.DataFrame({"__key": keys, result_col: got})
 
-    keyed = batch.select(
-        F.col(key_col).cast("long").alias("__key"),
-        _bucket(F.col(key_col), n_buckets).alias("__bucket"),
-    ).dropDuplicates(["__key"])
+    # NULL probe keys never reach the UDF (NaN-in-float64 would crash the
+    # int64 view); they fall through the left join below and are flagged
+    # False — a row with no key is definitely not a member of the key set
+    keyed = (
+        batch.select(
+            F.col(key_col).cast("long").alias("__key"),
+            _bucket(F.col(key_col), n_buckets).alias("__bucket"),
+        )
+        .where(F.col("__key").isNotNull())
+        .dropDuplicates(["__key"])
+    )
     flags = (
         keyed.groupBy("__bucket")
         .cogroup(filt.groupBy("bucket"))

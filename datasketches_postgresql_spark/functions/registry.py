@@ -259,6 +259,16 @@ def register_all(spark: SparkSession) -> None:
                     "cpc_sketch_build_compat: non-integral numeric keys — "
                     "cast to BIGINT or STRING first"
                 )
+            # beyond 2^53 a float64 cannot represent every long: the
+            # rounded value would still pass the integrality check while
+            # the murmur coupons silently diverge from a sketch built on
+            # the true keys — refuse rather than betray exact interop
+            if np.any(np.abs(arr) > 2.0**53):
+                raise ValueError(
+                    "cpc_sketch_build_compat: integer keys above 2^53 were "
+                    "rendered as lossy float64 (nullable BIGINT via Arrow) — "
+                    "cast to BIGINT or STRING first"
+                )
             return _ci.build_murmur(arr.astype(np.int64).astype(np.uint64))
         return _ci.build_murmur_strings(vals)
 

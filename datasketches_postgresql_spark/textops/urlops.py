@@ -75,20 +75,25 @@ def dedup_by_url(
     is given (recrawl collapse — latest ``warc_ts`` wins, raw url as the
     deterministic tie-break), else the lexicographically-smallest raw url.
 
-    One hash-keyed window over xxhash64-sized keys; the canonical string
-    itself never shuffles (only its 8-byte hash does), so at crawl scale
-    the exchange carries id-width rows.
+    One hash-keyed window; the canonical string itself never shuffles —
+    only its fingerprint does, so at crawl scale the exchange carries
+    id-width rows. The fingerprint is 128-bit (two independent xxhash64
+    lanes): a single 64-bit key would collide ~n²/2^65 times — tens of
+    thousands of wrongly-dropped distinct pages at 10^12 docs — while
+    the expected 128-bit collision count at that scale is ~10^-15.
     """
     cu = canonical_url(F.col(url_col))
-    keyed = df.withColumn("__ckey", F.xxhash64(cu))
+    keyed = df.withColumn("__ckey", F.xxhash64(cu)).withColumn(
+        "__ckey2", F.xxhash64(cu, F.lit(0x9E3779B9))
+    )
     order = (
         [F.desc(ts_col), F.asc(url_col)] if ts_col is not None else [F.asc(url_col)]
     )
-    w = Window.partitionBy("__ckey").orderBy(*order)
+    w = Window.partitionBy("__ckey", "__ckey2").orderBy(*order)
     return (
         keyed.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("__rn", "__ckey")
+        .drop("__rn", "__ckey", "__ckey2")
     )
 
 
@@ -152,36 +157,53 @@ def cap_per_domain(
     (quality_col desc, url) — one window over the 8-byte domain hash.
     Right when domains are crawl-sized.
 
-    mode="hash" (skew-safe): per-domain counts (one agg) broadcast back,
-    then keep rows whose url hash falls in the keep-fraction — NO
-    per-domain sort, so a pathological 10^9-page domain costs a scan, not
-    an ordering. The cap is approximate (binomial around max_docs) and
-    selection ignores quality; right for adversarial skew."""
+    mode="hash" (skew-safe): per-domain counts (one agg), then keep rows
+    whose url hash falls in the keep-fraction — NO per-domain sort, so a
+    pathological 10^9-page domain costs a scan, not an ordering. Only the
+    OVER-CAP domains' counts are broadcast back (under-cap domains keep
+    everything, so their rows never need a count): a real crawl has
+    10^8-10^9 registrable domains but only the skewed tail exceeds any
+    sane cap, so the broadcast side stays small by construction. The cap
+    is approximate (binomial around max_docs) and selection ignores
+    quality; right for adversarial skew.
+
+    Domain keys are 128-bit (two xxhash64 lanes) in rank mode so two
+    distinct domains never silently share one quota; hash mode keys the
+    count table the same way."""
     dom = registrable_domain(F.col(url_col))
-    keyed = df.withColumn("__dkey", F.xxhash64(dom))
+    keyed = df.withColumn("__dkey", F.xxhash64(dom)).withColumn(
+        "__dkey2", F.xxhash64(dom, F.lit(0x9E3779B9))
+    )
     if mode == "rank":
         order = (
             [F.desc(quality_col), F.asc(url_col)]
             if quality_col is not None
             else [F.asc(url_col)]
         )
-        w = Window.partitionBy("__dkey").orderBy(*order)
+        w = Window.partitionBy("__dkey", "__dkey2").orderBy(*order)
         return (
             keyed.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= max_docs)
-            .drop("__rn", "__dkey")
+            .drop("__rn", "__dkey", "__dkey2")
         )
     if mode != "hash":
         raise ValueError(f"unknown mode {mode!r} (expected 'rank' | 'hash')")
-    counts = keyed.groupBy("__dkey").agg(F.count(F.lit(1)).alias("__dn"))
+    over_cap = (
+        keyed.groupBy("__dkey", "__dkey2")
+        .agg(F.count(F.lit(1)).alias("__dn"))
+        .where(F.col("__dn") > max_docs)
+    )
     u64 = 2**64
-    keep_frac = F.least(F.lit(1.0), F.lit(float(max_docs)) / F.col("__dn"))
+    # absent from the (filtered) broadcast = under-cap = keep everything
+    keep_frac = F.coalesce(
+        F.lit(float(max_docs)) / F.col("__dn"), F.lit(1.0)
+    )
     # unsigned view of the signed xxhash64: shift into [0, 1)
     r = (F.xxhash64(F.col(url_col), F.lit(seed)).cast("double") + F.lit(u64 / 2)) / F.lit(
         float(u64)
     )
     return (
-        keyed.join(F.broadcast(counts), "__dkey")
+        keyed.join(F.broadcast(over_cap), ["__dkey", "__dkey2"], "left")
         .where(r < keep_frac)
-        .drop("__dkey", "__dn")
+        .drop("__dkey", "__dkey2", "__dn")
     )

@@ -153,3 +153,27 @@ class TestBloom:
         assert probed.where("NOT maybe_member").count() == 0
         with pytest.raises(ValueError, match="legacy"):
             B.bloom_maybe_contains(_keys_df(spark, 0, 10), "key", legacy)
+
+
+class TestNullKeys:
+    def test_null_keys_build_and_probe(self, spark):
+        """NULL keys must neither crash the Arrow int64 view (they arrive
+        as NaN in a float64 column) nor count as members: build skips
+        them, probes flag them definitely-new."""
+        base = spark.createDataFrame(
+            [(i,) for i in range(100)] + [(None,)] * 3, "key long"
+        )
+        filt = B.bloom_build(base, "key", n_buckets=N_BUCKETS,
+                             bits_per_slice=SLICE_BITS)
+        probe = spark.createDataFrame(
+            [(5,), (None,), (10_000,)], "key long"
+        )
+        got = {r["key"]: r["maybe_member"]
+               for r in B.bloom_maybe_contains(probe, "key", filt).collect()}
+        assert got[5] is True            # real member
+        assert got[None] is False        # no key -> definitely not a member
+        # build over the null-bearing df indexed the 100 real keys
+        members = B.bloom_maybe_contains(
+            spark.createDataFrame([(i,) for i in range(100)], "key long"),
+            "key", filt)
+        assert members.where("NOT maybe_member").count() == 0

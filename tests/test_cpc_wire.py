@@ -123,3 +123,28 @@ class TestCrossLgK:
         assert abs(C.get_estimate(r) - 30000) / 30000 < 0.05
         with pytest.raises(ValueError, match="grow"):
             CI.reduce_lg_k(b, 12)
+
+
+class TestCompatLossyFloats:
+    def test_rejects_longs_above_2_53_rendered_as_float64(self, spark):
+        """A nullable BIGINT column reaches the compat UDF as float64; keys
+        above 2^53 are lossy there, so the build must refuse rather than
+        emit coupons that silently diverge from the true-key sketch."""
+        from datasketches_postgresql_spark.functions.registry import register_all
+
+        register_all(spark)
+        big = (1 << 60) + 12345  # not float64-representable exactly
+        df = spark.createDataFrame([(big,), (None,)], "u long")
+        df.createOrReplaceTempView("cpc_lossy_t")
+        with pytest.raises(Exception, match="2\\^53"):
+            spark.sql(
+                "SELECT cpc_sketch_build_compat(u) FROM cpc_lossy_t"
+            ).collect()
+        # in-range longs through the same nullable (float64) path still build
+        ok = spark.createDataFrame([(123,), (456,), (None,)], "u long")
+        ok.createOrReplaceTempView("cpc_ok_t")
+        row = spark.sql(
+            "SELECT cpc_sketch_get_estimate(cpc_sketch_build_compat(u)) AS e "
+            "FROM cpc_ok_t"
+        ).collect()[0]
+        assert abs(row["e"] - 2) < 0.01

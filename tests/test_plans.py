@@ -256,7 +256,12 @@ class TestRound3OpPlans:
                      F.lit(".org/"), F.col("doc_id").cast("string")).alias("url")
         )
         q = cap_per_domain(d, "url", max_docs=3, mode="hash")
-        assert has_broadcast_join(q), formatted_plan(q)
+        plan = formatted_plan(q)
+        assert has_broadcast_join(q), plan
+        # the broadcast side must be the FILTERED count table (only domains
+        # over the cap): at web scale broadcasting all 10^8-10^9 domain
+        # counts would be the skew-safe mode's own scale-killer
+        assert "__dn" in plan and "> 3" in plan, plan
 
     def test_semdedup_candidate_join_keys_are_narrow(self, spark, sf_dir):
         """the within-cluster self-join is keyed on (cluster, salt) ints —

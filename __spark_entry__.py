@@ -542,19 +542,33 @@ def q_text_packing(spark, sf_dir):
 
 def q_url_domain_cap(spark, sf_dir):
     """Per-registrable-domain quota (textops/urlops.py cap_per_domain,
-    rank mode): synthetic urls spread docs over 20 .org domains, the cap
-    keeps the 5 lexicographically-smallest urls per domain; the oracle
-    replays the identical rule with a window."""
+    rank mode) over the FULL embedded Public Suffix List: synthetic urls
+    spread docs over 20 .org domains plus 7 github.io user sites (PSL
+    private section — each user subdomain is its own publisher, so each
+    gets its own quota instead of the whole platform sharing one); the
+    cap keeps the 5 lexicographically-smallest urls per domain; the
+    oracle replays the identical domain rule and window."""
     from datasketches_postgresql_spark.textops.urlops import (
         cap_per_domain,
         registrable_domain,
     )
 
+    did = F.col("doc_id")
     d = _docs(spark, sf_dir).select(
-        F.concat(
-            F.lit("https://www.host"), (F.col("doc_id") % 20).cast("string"),
-            F.lit(".org/p"), F.col("doc_id").cast("string"),
-        ).alias("url")
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("https://u"), (did % 7).cast("string"),
+                F.lit(".github.io/p"), did.cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.host"), (did % 20).cast("string"),
+                F.lit(".org/p"), did.cast("string"),
+            )
+        )
+        .alias("url")
     )
     kept = cap_per_domain(d, "url", max_docs=5)
     return kept.select(
@@ -1597,9 +1611,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "url_domain_cap": """
+            -- PSL semantics replayed literally: 'uK.github.io' is the
+            -- registrable domain (github.io is a private-section public
+            -- suffix), 'hostK.org' the plain .org case
             WITH u AS (
-              SELECT 'https://www.host' || (doc_id % 20) || '.org/p' || doc_id AS url,
-                     'host' || (doc_id % 20) || '.org' AS domain
+              SELECT CASE WHEN doc_id % 3 = 0
+                          THEN 'https://u' || (doc_id % 7) || '.github.io/p' || doc_id
+                          ELSE 'https://www.host' || (doc_id % 20) || '.org/p' || doc_id
+                     END AS url,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'u' || (doc_id % 7) || '.github.io'
+                          ELSE 'host' || (doc_id % 20) || '.org'
+                     END AS domain
               FROM documents),
             r AS (SELECT domain, url,
                          row_number() OVER (PARTITION BY domain ORDER BY url) AS rn

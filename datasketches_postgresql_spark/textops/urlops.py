@@ -99,21 +99,40 @@ def dedup_by_url(
 
 # -- per-domain quotas ---------------------------------------------------------
 
-# common multi-label public suffixes for the registrable-domain heuristic
-# (a pragmatic subset of the Public Suffix List's two-level entries; the
-# full PSL is a data file this sandbox doesn't ship — callers with one can
-# pass extra suffixes)
+# FALLBACK ONLY: a pragmatic subset of the Public Suffix List's two-level
+# entries for environments where the embedded psl_table.npz is absent
+# (see registrable_domain(use_psl=False)); the default path uses the full
+# embedded PSL.
 _TWO_LEVEL_SUFFIXES = (
     "co.uk org.uk ac.uk gov.uk com.au net.au org.au com.br com.cn com.mx "
     "co.jp ne.jp or.jp co.kr co.in co.nz co.za com.sg com.tw com.tr com.ar"
 ).split()
 
+# full Public Suffix List compiled by tools/gen_psl_table.py from the
+# OS-shipped /usr/share/publicsuffix/public_suffix_list.dat (Mozilla PSL,
+# public data; ICANN + private sections, unicode + punycode forms).
+# Loaded once per driver; the per-depth string sets become Catalyst InSet
+# literals, so the lookup stays whole-stage codegen with zero Python.
+_PSL_MAX_DEPTH = 5
+_psl_cache: dict[str, list[str]] | None = None
 
-def registrable_domain(url: Column, extra_suffixes: list[str] | None = None) -> Column:
-    """The registrable domain ('example.co.uk' from
-    'https://a.b.example.co.uk/x') — the key web pipelines cap, rate and
-    attribute by. Heuristic: last two host labels, or last three when the
-    two-label tail is a known public suffix. Pure native expressions."""
+
+def _psl() -> dict[str, list[str]]:
+    global _psl_cache
+    if _psl_cache is None:
+        import os
+
+        import numpy as np
+
+        path = os.path.join(os.path.dirname(__file__), "psl_table.npz")
+        with np.load(path) as z:
+            _psl_cache = {
+                k: z[k].tolist() for k in z.files if k != "source"
+            }
+    return _psl_cache
+
+
+def _host_of(url: Column) -> Column:
     host = F.lower(
         F.regexp_extract(F.trim(url), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#@]*@)?([^/?#:]*)", 2)
     )
@@ -126,19 +145,92 @@ def registrable_domain(url: Column, extra_suffixes: list[str] | None = None) -> 
         F.lower(F.trim(url)), r"^(?://)?(?:[^/?#@]*@)?([^/?#:]*)", 1
     )
     host = F.when(host == "", bare).otherwise(host)
+    # a trailing dot is the DNS root label — not part of the name
+    return F.regexp_replace(host, r"\.$", "")
+
+
+def registrable_domain(
+    url: Column,
+    extra_suffixes: list[str] | None = None,
+    use_psl: bool = True,
+) -> Column:
+    """The registrable domain ('example.co.uk' from
+    'https://a.b.example.co.uk/x') — the key web pipelines cap, rate and
+    attribute by.
+
+    Default path: the FULL embedded Public Suffix List (ICANN + private
+    sections) with the spec's longest-match / wildcard / exception
+    semantics, so platform subdomains stay distinct publishers
+    ('alice.github.io' != 'bob.github.io' — under a per-domain cap the
+    round-3 heuristic would have collapsed the whole platform to one
+    quota). Pure native expressions: per-depth suffix strings tested
+    against InSet literal sets, fully inside whole-stage codegen.
+
+    PSL algorithm (publicsuffix.org/list): the prevailing rule is the
+    matching exception if any, else the longest matching rule, else '*';
+    public suffix = prevailing rule (exception: rule minus its leftmost
+    label); registrable domain = public suffix + one more host label.
+    Hosts that ARE a public suffix, IP literals, and single-label hosts
+    return the host itself (a stable cap key for junk rows).
+
+    ``extra_suffixes``: additional exact rules (any depth).
+    ``use_psl=False``: the legacy two-level heuristic — documented
+    fallback for environments without the embedded table."""
+    host = _host_of(url)
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    two = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
-    three = F.concat_ws(
-        ".", F.element_at(labels, -3), F.element_at(labels, -2), F.element_at(labels, -1)
-    )
-    suffixes = list(_TWO_LEVEL_SUFFIXES) + list(extra_suffixes or [])
-    is_two_level_suffix = two.isin(suffixes)
-    return (
-        F.when(n <= 2, host)
-        .when(is_two_level_suffix & (n >= 3), three)
-        .otherwise(two)
-    )
+
+    def suf(d: int) -> Column:
+        return F.concat_ws(
+            ".", *[F.element_at(labels, -i) for i in range(d, 0, -1)]
+        )
+
+    if not use_psl:
+        suffixes = list(_TWO_LEVEL_SUFFIXES) + list(extra_suffixes or [])
+        is_two_level_suffix = suf(2).isin(suffixes)
+        return (
+            F.when(n <= 2, host)
+            .when(is_two_level_suffix & (n >= 3), suf(3))
+            .otherwise(suf(2))
+        )
+
+    table = _psl()
+    extras: dict[int, list[str]] = {}
+    for s in extra_suffixes or []:
+        extras.setdefault(s.count(".") + 1, []).append(s.lower())
+
+    # public-suffix depth = max over matching rules (default rule '*' = 1)
+    depth_cands = [F.lit(1)]
+    for d in range(1, _PSL_MAX_DEPTH + 1):
+        exact = table.get(f"exact_{d}", []) + extras.get(d, [])
+        if exact:
+            depth_cands.append(
+                F.when((n >= d) & suf(d).isin(exact), F.lit(d)).otherwise(F.lit(1))
+            )
+        wild = table.get(f"wild_{d}", [])
+        if wild:
+            depth_cands.append(
+                F.when((n >= d + 1) & suf(d).isin(wild), F.lit(d + 1)).otherwise(
+                    F.lit(1)
+                )
+            )
+    ps_depth = F.greatest(*depth_cands)
+    # registrable = last (ps_depth + 1) labels; host itself when it IS a
+    # public suffix (or shorter)
+    reg = F.when(
+        n > ps_depth, F.array_join(F.slice(labels, n - ps_depth, ps_depth + 1), ".")
+    ).otherwise(host)
+    # exception rules beat everything: the rule itself is the registrable
+    # domain ('!city.kawasaki.jp' under '*.kawasaki.jp')
+    for d in sorted(
+        (int(k.split("_")[1]) for k in table if k.startswith("exc_")), reverse=True
+    ):
+        exc = table[f"exc_{d}"]
+        reg = F.when((n >= d) & suf(d).isin(exc), suf(d)).otherwise(reg)
+    # IPv4 / bracketed IPv6 literals have no registrable domain: the
+    # address itself is the cap key
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$") | host.startswith("[")
+    return F.when(is_ip, host).otherwise(reg)
 
 
 def cap_per_domain(

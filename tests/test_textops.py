@@ -855,6 +855,62 @@ class TestDomainCaps:
         got = df.select(registrable_domain(F.col("url")).alias("d")).collect()
         assert [r["d"] for r in got] == [d for _, d in rows]
 
+    def test_full_psl_semantics(self, spark):
+        """The embedded FULL Public Suffix List: private-section platform
+        suffixes stay distinct publishers, wildcard and exception rules
+        follow the spec, punycode and unicode forms both resolve."""
+        from datasketches_postgresql_spark.textops.urlops import registrable_domain
+
+        rows = [
+            # private section: the round-3 heuristic collapsed these into
+            # ONE 'github.io' domain (a per-domain cap would nuke the
+            # whole platform); PSL keeps each user a publisher
+            ("https://alice.github.io/blog", "alice.github.io"),
+            ("https://x.bob.github.io/", "bob.github.io"),
+            ("https://github.io/", "github.io"),  # host IS a public suffix
+            ("https://a.blogspot.co.id/p", "a.blogspot.co.id"),
+            # exact multi-level ICANN entries the heuristic list missed
+            ("https://sub.example.co.id/", "example.co.id"),
+            ("https://shop.example.com.hk/", "example.com.hk"),
+            # wildcard rule *.ck ...
+            ("http://bar.foo.ck/", "bar.foo.ck"),
+            ("http://foo.ck/", "foo.ck"),
+            # ... and its exception !www.ck
+            ("http://sub.www.ck/", "www.ck"),
+            ("http://a.city.kawasaki.jp/", "city.kawasaki.jp"),
+            ("http://x.other.kawasaki.jp/", "x.other.kawasaki.jp"),
+            # unicode AND punycode forms of the same TLD
+            ("http://пример.рф/x", "пример.рф"),
+            ("http://xn--e1afmkfd.xn--p1ai/x", "xn--e1afmkfd.xn--p1ai"),
+            # IP literals and the DNS root dot
+            ("http://192.168.0.1/admin", "192.168.0.1"),
+            ("https://www.example.com./", "example.com"),
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+        got = df.select(registrable_domain(F.col("url")).alias("d")).collect()
+        assert [r["d"] for r in got] == [d for _, d in rows]
+        # the documented fallback heuristic is still there, and wrong in
+        # exactly the way the PSL path fixes
+        fb = df.select(
+            registrable_domain(F.col("url"), use_psl=False).alias("d")
+        ).collect()
+        assert fb[0]["d"] == "github.io"  # platform collapse, fallback only
+
+    def test_extra_suffixes_extend_the_psl(self, spark):
+        from datasketches_postgresql_spark.textops.urlops import registrable_domain
+
+        df = spark.createDataFrame(
+            [("https://team.corp.internal/x",)], "url string"
+        )
+        base = df.select(registrable_domain(F.col("url")).alias("d")).collect()
+        assert base[0]["d"] == "corp.internal"
+        ext = df.select(
+            registrable_domain(
+                F.col("url"), extra_suffixes=["corp.internal"]
+            ).alias("d")
+        ).collect()
+        assert ext[0]["d"] == "team.corp.internal"
+
     def test_rank_mode_keeps_best_and_caps(self, spark):
         from datasketches_postgresql_spark.textops.urlops import cap_per_domain
 

@@ -84,10 +84,11 @@ def semdedup_assign(
     )
 
 
-def _salted(assigned: DataFrame, max_cluster: int) -> DataFrame:
-    """Add a sub-split salt so no join cell exceeds ~max_cluster rows.
-    One extra shuffle (the window count) only when a cap is set; clusters
-    under the cap get salt 0 and behave exactly as unsalted."""
+def _id_salted(assigned: DataFrame, max_cluster: int) -> DataFrame:
+    """LEGACY over-cap sub-split (round 3): id-hash salt so no join cell
+    exceeds ~max_cluster rows. Forfeits cross-salt pairs — kept only as
+    the dim-less fallback and as the comparison baseline in tests; the
+    LSH sub-split in semdedup_pairs is the real path."""
     if max_cluster <= 0:
         return assigned.withColumn("salt", F.lit(0))
     size = F.count(F.lit(1)).over(Window.partitionBy("cluster"))
@@ -99,27 +100,111 @@ def semdedup_pairs(
     assigned: DataFrame,
     threshold: float = DEFAULT_THRESHOLD,
     max_cluster: int = 100_000,
+    dim: int | None = None,
+    n_planes: int = 4,
+    n_tables: int = 8,
 ) -> DataFrame:
-    """(a, b, cos) semantic-duplicate candidate pairs: exact cosine over
-    the within-(cluster, salt) self-join. Each pair appears exactly once
-    (a < b), so vectors cross the join shuffle once per side — there is
-    no multi-table fan-out to dedup (unlike the LSH path in
-    dedupe.embedding_neardup_pairs)."""
-    s = _salted(assigned, max_cluster)
-    left = s.select(
-        F.col("id").alias("a"), F.col("v").alias("va"), "cluster", "salt"
-    )
-    right = s.select(
-        F.col("id").alias("b"), F.col("v").alias("vb"), "cluster", "salt"
-    )
-    return (
-        left.join(right, ["cluster", "salt"])
-        .where(F.col("a") < F.col("b"))
-        .select(
-            "a", "b", F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cos")
+    """(a, b, cos) semantic-duplicate candidate pairs, exact-cosine scored.
+
+    Clusters at or under ``max_cluster`` members: one within-cluster
+    self-join; each pair appears exactly once (a < b), so vectors cross
+    the join shuffle once per side.
+
+    Clusters ABOVE the cap — a spam template or mirror flood, exactly
+    where the dups live — are routed through the engine's own
+    random-hyperplane LSH (the dedupe.embedding_neardup_pairs shape)
+    WITHIN the cluster: near-identical vectors co-bucket with probability
+    (1 - theta/pi)^n_planes per table across ``n_tables`` independent
+    tables, so near-pairs survive the sub-split (the round-3 id-hash salt
+    forfeited 1 - 1/nsplit of them). Candidate dedup across tables
+    carries only (a, b) ids; vectors rejoin the far smaller pair set.
+    A residual id-salt backstop bounds the worst cell (a flood of
+    IDENTICAL vectors lands in ONE bucket) at ~max_cluster rows — within
+    such a cell members are interchangeable, so the cost of a salt split
+    there is a few extra kept representatives, never a missed cluster
+    merge across distinct content.
+
+    ``max_cluster <= 0`` disables the cap (single self-join per cluster).
+    ``dim`` (embedding width) drives the LSH sub-split; when None the
+    over-cap fallback is the round-3 id-hash salt (legacy callers), which
+    forfeits cross-salt pairs — pass dim (semdedup() always does)."""
+    if max_cluster <= 0:
+        left = assigned.select(
+            F.col("id").alias("a"), F.col("v").alias("va"), "cluster"
         )
+        right = assigned.select(
+            F.col("id").alias("b"), F.col("v").alias("vb"), "cluster"
+        )
+        return (
+            left.join(right, ["cluster"])
+            .where(F.col("a") < F.col("b"))
+            .select(
+                "a", "b", F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cos")
+            )
+            .where(F.col("cos") >= threshold)
+        )
+    if dim is None:
+        s = _id_salted(assigned, max_cluster)
+        left = s.select(F.col("id").alias("a"), F.col("v").alias("va"), "cluster", "salt")
+        right = s.select(F.col("id").alias("b"), F.col("v").alias("vb"), "cluster", "salt")
+        return (
+            left.join(right, ["cluster", "salt"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b", F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cos"))
+            .where(F.col("cos") >= threshold)
+        )
+    from .ann import lsh_bucket
+
+    size = F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+    sized = assigned.withColumn("__over", size > max_cluster)
+    under = sized.where(~F.col("__over"))
+    over = sized.where(F.col("__over"))
+
+    u_left = under.select(F.col("id").alias("a"), F.col("v").alias("va"), "cluster")
+    u_right = under.select(F.col("id").alias("b"), F.col("v").alias("vb"), "cluster")
+    under_pairs = (
+        u_left.join(u_right, ["cluster"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+    buckets = over.select(
+        "id",
+        "cluster",
+        F.posexplode(
+            F.array(
+                *[lsh_bucket(F.col("v"), dim, n_planes, seed=23 + t) for t in range(n_tables)]
+            )
+        ).alias("table", "bucket"),
+    )
+    # backstop: an identical-vector flood concentrates in one bucket per
+    # table — salt such cells back under the cap (bounded cell, see above).
+    # The salt is seeded by the TABLE, so the nsplit partitions are
+    # independent across tables: a pair split in one table co-salts in
+    # another with prob 1 - (1 - 1/nsplit)^n_tables, instead of being
+    # forfeited identically everywhere.
+    cell = F.count(F.lit(1)).over(Window.partitionBy("cluster", "table", "bucket"))
+    nsplit = F.greatest(F.lit(1), F.ceil(cell / F.lit(max_cluster))).cast("long")
+    ids = buckets.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("id"), F.col("table")), nsplit).cast("int")
+    ).select("id", "cluster", "table", "bucket", "salt")
+    keys = ["cluster", "table", "bucket", "salt"]
+    cand_ids = (
+        ids.select(F.col("id").alias("a"), *keys)
+        .join(ids.select(F.col("id").alias("b"), *keys), keys)
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    vec = assigned.select("id", "v")
+    over_pairs = (
+        cand_ids.join(vec.select(F.col("id").alias("a"), F.col("v").alias("va")), "a")
+        .join(vec.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b")
+        .select("a", "b", F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+    return under_pairs.unionByName(over_pairs)
 
 
 def semdedup(
@@ -148,7 +233,9 @@ def semdedup(
         n_clusters=n_clusters, max_train=max_train, iters=iters, seed=seed,
         centroids=centroids,
     )
-    edges = semdedup_pairs(assigned, threshold=threshold, max_cluster=max_cluster)
+    edges = semdedup_pairs(
+        assigned, threshold=threshold, max_cluster=max_cluster, dim=dim
+    )
     comp = connected_components(edges.select("a", "b")).select(
         F.col("doc_id").alias("id"), F.col("cluster_id").alias("group_id")
     )

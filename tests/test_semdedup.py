@@ -114,7 +114,7 @@ class TestSemDedup:
         assigned = SD.semdedup_assign(
             df, "vec_id", "embedding", DIM, n_clusters=2, seed=3
         )
-        salted = SD._salted(assigned, max_cluster=4)
+        salted = SD._id_salted(assigned, max_cluster=4)
         cells = (
             salted.groupBy("cluster", "salt").count().agg(F.max("count")).collect()
         )[0][0]
@@ -124,6 +124,73 @@ class TestSemDedup:
         planted = {frozenset(p) for g in groups for i in g for p in [(i, j) for j in g if j > i]}
         got = {frozenset((p["a"], p["b"])) for p in pairs}
         assert planted <= got
+
+    def test_overcap_lsh_beats_id_salt_on_mega_cluster(self, spark):
+        """A planted over-cap coarse cluster (60 vectors, max_cluster=10)
+        holding 30 DISTINCT near-dup pairs — the scenario the LSH
+        sub-split exists for: a wide k-means cell whose members are not
+        mutually similar, but whose near-pairs must stay co-bucketed. The
+        id-hash salt scatters each pair across ~6 salt cells (recall ~1/6
+        by construction); hyperplane buckets respect geometry."""
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=DIM)
+        base /= np.linalg.norm(base)
+        rows = []
+        pair_ids = []
+        for i in range(30):
+            a = base + rng.normal(size=DIM) * 0.35  # wide cone: one coarse cell
+            a /= np.linalg.norm(a)
+            b = a + rng.normal(size=DIM) * 0.02  # its near-dup (cos ~ 0.999)
+            rows.append((2 * i, [float(x) for x in a]))
+            rows.append((2 * i + 1, [float(x) for x in b / np.linalg.norm(b)]))
+            pair_ids.append(frozenset((2 * i, 2 * i + 1)))
+        # background noise so the quantizer has something else to see
+        for i in range(60, 90):
+            v = rng.normal(size=DIM)
+            rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        assigned = SD.semdedup_assign(
+            df, "vec_id", "embedding", DIM, n_clusters=2, seed=3
+        ).cache()
+        planted = set(pair_ids)
+
+        def recall(pairs):
+            got = {
+                frozenset((p["a"], p["b"]))
+                for p in pairs.collect()
+                if p["a"] < 60 and p["b"] < 60
+            }
+            return len(got & planted) / len(planted)
+
+        r_lsh = recall(
+            SD.semdedup_pairs(assigned, threshold=0.99, max_cluster=10, dim=DIM)
+        )
+        r_salt = recall(
+            SD.semdedup_pairs(assigned, threshold=0.99, max_cluster=10, dim=None)
+        )
+        assert r_salt < 0.5, r_salt  # the forfeit the LSH path removes
+        assert r_lsh > 0.95, (r_lsh, r_salt)
+        assert r_lsh > r_salt
+
+    def test_overcap_backstop_salts_identical_vector_flood(self, spark):
+        """IDENTICAL vectors all land in ONE LSH bucket per table; the
+        id-salt backstop must still bound the join cell and the pipeline
+        must not lose the flood (each salt cell resolves internally)."""
+        v = [0.0] * (DIM - 1) + [1.0]
+        rows = [(i, v) for i in range(40)] + [
+            (100 + i, [float(x) for x in np.eye(DIM)[i % DIM]]) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        dec = SD.semdedup(
+            df, "vec_id", "embedding", DIM,
+            n_clusters=2, threshold=0.999, seed=3, max_cluster=8,
+        ).collect()
+        flood = [r for r in dec if r["id"] < 100]
+        kept = sum(1 for r in flood if r["keep"])
+        # without a sub-split: 1 keeper; with the backstop each salt cell
+        # keeps one -> a handful, never the whole flood
+        assert kept <= 8, kept
+        assert sum(1 for r in flood if not r["keep"]) >= 32
 
     def test_prune_and_metrics(self, spark, vecs):
         df, groups = vecs

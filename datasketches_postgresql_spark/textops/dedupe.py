@@ -72,9 +72,15 @@ def ngram_jaccard_pairs(
     pair_filter=None,
     max_df: int | None = None,
 ) -> DataFrame:
-    """Word-n-gram Jaccard pairs via an INVERTED-INDEX join: (a, b, jaccard)
-    for every pair sharing >= 1 gram (zero-overlap pairs are omitted — their
-    Jaccard is 0).
+    """Word-n-gram Jaccard pairs via an INVERTED-INDEX join. AT SCALE, SET
+    ``max_df``: a stop-gram present in d docs contributes d^2 join rows, so
+    the exact default (max_df=None) invites a quadratic blowup on real
+    text — every pipeline-facing call must pass an explicit ``max_df``
+    (boilerplate grams carry no discrimination anyway); None is only for
+    small corpora and the exactness oracle.
+
+    Returns (a, b, jaccard) for every pair sharing >= 1 gram (zero-overlap
+    pairs are omitted — their Jaccard is 0).
 
     Scale shape (replaces the former all-pairs formulation, which planned a
     BroadcastNestedLoopJoin and is O(n^2) rows with full gram arrays on both

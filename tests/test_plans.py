@@ -76,6 +76,23 @@ class TestPlanQuality:
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
 
+    def test_ngram_jaccard_max_df_prunes_stop_grams(self, spark, sf_dir):
+        """The scale path (explicit max_df, the documented requirement for
+        pipeline call sites): a stop-gram in d docs costs d^2 join rows, so
+        the document-frequency filter must sit BEFORE the pair join in the
+        plan, and a planted boilerplate gram must stop producing pairs."""
+        from datasketches_postgresql_spark.textops.dedupe import ngram_jaccard_pairs
+
+        rows = [(i, f"common boilerplate tail unique{i} token{i}") for i in range(30)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        exact = ngram_jaccard_pairs(d, "doc_id", "text", n=2)
+        pruned = ngram_jaccard_pairs(d, "doc_id", "text", n=2, max_df=5)
+        # every pair shares only the boilerplate grams -> pruning kills them
+        assert exact.count() == 30 * 29 // 2
+        assert pruned.count() == 0
+        plan = formatted_plan(pruned)
+        assert "df#" in plan and "<= 5" in plan, plan
+
     def test_lsh_verify_no_python(self, spark):
         """Band hashing + verification are JVM-side: bit_count/zip_with/
         xxhash64, no Python eval nodes."""

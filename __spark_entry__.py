@@ -510,12 +510,37 @@ def q_text_packing(spark, sf_dir):
     and returns SQL-checkable totals: every doc exactly once (n_docs),
     length conservation (total_len), the exact oversize set (n_oversize),
     every regular bin within budget (caps_ok) and the packer pulling its weight
-    (utilization >= 0.75, far above first-fit's worst case)."""
+    (utilization >= 0.75, far above first-fit's worst case). A second
+    packing over REAL post-merge BPE token lengths (textops/bpe.py — a
+    merge table trained on this corpus, layout-invariant) rides along as
+    the constant-true bpe_caps_ok: every real-token bin within its
+    budget too, so the production-faithful budget path is driver-verified."""
+    from datasketches_postgresql_spark.textops import bpe as BPE
     from datasketches_postgresql_spark.textops import packing as PKG
 
     budget = 2000
-    d = _docs(spark, sf_dir).select("doc_id", F.length("text").alias("n"))
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", F.length("text").alias("n"))
     a = PKG.pack_documents(d, "doc_id", "n", budget, num_partitions=8)
+
+    bpe_budget = 400
+    vocab = BPE.train_bpe(docs, "text", n_merges=500, max_words=20000)
+    dtok = docs.select(
+        "doc_id", BPE.bpe_token_count_real(F.col("text"), vocab).alias("nt")
+    )
+    at = PKG.pack_documents(dtok, "doc_id", "nt", bpe_budget, num_partitions=8)
+    bpe_caps = (
+        at.groupBy("bin_id")
+        .agg(
+            F.first("bin_fill").alias("fill"),
+            F.max(F.col("oversize").cast("int")).alias("over"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("over") == 0, F.col("fill")).otherwise(0)
+            ).alias("bmx")
+        )
+    )
     stats = PKG.packing_stats(a, budget)
     bins = a.groupBy("bin_id").agg(
         F.first("bin_fill").alias("fill"),
@@ -530,12 +555,14 @@ def q_text_packing(spark, sf_dir):
     return (
         stats.crossJoin(caps)
         .crossJoin(conserve)
+        .crossJoin(bpe_caps)
         .select(
             F.col("n_docs").cast("bigint").alias("n_docs"),
             F.col("n_oversize").cast("bigint").alias("n_oversize"),
             "total_len",
             (F.col("mx") <= budget).cast("int").alias("caps_ok"),
             (F.col("utilization") >= 0.75).cast("int").alias("util_ok"),
+            (F.col("bmx") <= bpe_budget).cast("int").alias("bpe_caps_ok"),
         )
     )
 
@@ -1607,7 +1634,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_docs,
                    count(*) FILTER (WHERE length(text) > 2000) AS n_oversize,
                    sum(length(text))::BIGINT AS total_len,
-                   1 AS caps_ok, 1 AS util_ok
+                   1 AS caps_ok, 1 AS util_ok, 1 AS bpe_caps_ok
             FROM documents
         """,
         "url_domain_cap": """

@@ -1,0 +1,242 @@
+"""Trainable byte-pair-encoding tokenizer — REAL post-merge token counts
+for packing budgets and mix planning, replacing the regex pre-tokenizer
+proxy (analysis.bpe_token_count) wherever a production-faithful budget is
+needed. Pure numpy/stdlib: a merge table learned with the classic BPE
+procedure (Sennrich, Haddow & Birch, ACL 2016 — learn merges greedily by
+pair frequency over a word-frequency table), saved/loaded as an npz, and
+applied in Spark through an Arrow-batched pandas UDF with a per-executor
+word cache (Zipf makes the unique-word working set tiny relative to the
+token stream, so the Python merge loop runs per DISTINCT word, not per
+occurrence).
+
+Reference heritage: the reference ships loadable constant tables for its
+CPC codec the same way this module ships the merge table
+(/root/reference/src — compression tables baked at build time); both are
+data artifacts with provenance, not code.
+
+Scale shape at 10^12 docs:
+
+- TRAINING is bounded: one distributed word-count (pre-tokenize ->
+  explode -> groupBy -> top ``max_words`` by frequency) collects a capped
+  frequency table to the driver; merge learning is the incremental
+  pair-count algorithm (only words containing the merged pair are
+  touched), never a rescan of the corpus.
+- COUNTING is one pandas UDF pass: per Arrow batch, pre-tokenize with the
+  same split rule, look up each distinct word in the executor-local cache,
+  and encode only cache misses. No shuffle; a projection.
+- The merge table (<= a few 10^4 string pairs) ships once per executor in
+  the UDF closure — the broadcast-small-dim pattern.
+
+The pre-tokenizer is the engine's GPT-2-style split rule
+(analysis.BPE_PRETOKEN_RE) rendered for Python's re (``\\p{L}`` ->
+``[^\\W\\d_]`` etc.); tokens keep their leading space and get an
+end-of-word sentinel, so merges never cross word boundaries.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from .analysis import BPE_PRETOKEN_RE
+
+# Python-re rendering of BPE_PRETOKEN_RE: \p{L} -> [^\W\d_] (unicode
+# letters), \p{N} -> \d (unicode digits), symbols -> not (word or space)
+# plus underscore. Same token stream on the text both engines see.
+PY_PRETOKEN_RE = re.compile(r"'(?:[sdmt]|ll|ve|re)| ?[^\W\d_]+| ?\d+| ?(?:[^\w\s]|_)+")
+
+# end-of-word sentinel: NUL cannot collide with any real single-char base
+# symbol because both training and counting strip NUL from the text first
+# (pre-tokens DO keep their leading space, so a space sentinel would
+# conflate end-of-word merges with leading-space merges)
+EOW = "\x00"
+
+
+@dataclass(frozen=True)
+class BpeVocab:
+    """An ordered merge table. rank = position; lower merges first."""
+
+    merges: tuple[tuple[str, str], ...]
+
+    @property
+    def ranks(self) -> dict[tuple[str, str], int]:
+        d = self.__dict__.get("_ranks")
+        if d is None:
+            d = {pair: i for i, pair in enumerate(self.merges)}
+            object.__setattr__(self, "_ranks", d)
+        return d
+
+    def save(self, path: str | Path) -> None:
+        # JSON, not npz: numpy unicode arrays NUL-pad and would silently
+        # truncate the EOW sentinel off merge strings on reload
+        import json
+
+        Path(path).write_text(
+            json.dumps({"format": "bpe-merges-v1", "merges": [list(m) for m in self.merges]}),
+            encoding="utf-8",
+        )
+
+    @staticmethod
+    def load(path: str | Path) -> "BpeVocab":
+        import json
+
+        d = json.loads(Path(path).read_text(encoding="utf-8"))
+        if d.get("format") != "bpe-merges-v1":
+            raise ValueError(f"unknown vocab format in {path}")
+        return BpeVocab(tuple((a, b) for a, b in d["merges"]))
+
+    def encode_word(self, word: str) -> list[str]:
+        """Greedy lowest-rank-first merging — the standard BPE apply loop."""
+        ranks = self.ranks
+        symbols = list(word.replace(EOW, "")) + [EOW]
+        while len(symbols) > 1:
+            best_rank, best_pair = None, None
+            for i in range(len(symbols) - 1):
+                r = ranks.get((symbols[i], symbols[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, (symbols[i], symbols[i + 1])
+            if best_pair is None:
+                break
+            merged = best_pair[0] + best_pair[1]
+            # merge EVERY occurrence of this exact pair left-to-right
+            out, i = [], 0
+            while i < len(symbols):
+                if i < len(symbols) - 1 and (symbols[i], symbols[i + 1]) == best_pair:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(symbols[i])
+                    i += 1
+            symbols = out
+        return symbols
+
+    def count_word(self, word: str) -> int:
+        return len(self.encode_word(word))
+
+    def count_text(self, text: str, cache: dict[str, int] | None = None) -> int:
+        total = 0
+        for w in PY_PRETOKEN_RE.findall(text):
+            if cache is not None:
+                n = cache.get(w)
+                if n is None:
+                    n = self.count_word(w)
+                    cache[w] = n
+            else:
+                n = self.count_word(w)
+            total += n
+        return total
+
+
+def learn_bpe(word_freqs: dict[str, int], n_merges: int) -> BpeVocab:
+    """Classic BPE merge learning over a word-frequency table, with the
+    incremental pair-count update (touch only words containing the merged
+    pair). Deterministic: ties by lexicographic pair order."""
+    words: list[list[str]] = []
+    freqs: list[int] = []
+    for w, f in sorted(word_freqs.items()):
+        words.append(list(w.replace(EOW, "")) + [EOW])
+        freqs.append(int(f))
+
+    pair_freq: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+
+    def add_word(idx: int, sign: int) -> None:
+        syms, f = words[idx], freqs[idx] * sign
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_freq[p] = pair_freq.get(p, 0) + f
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(idx)
+
+    for idx in range(len(words)):
+        add_word(idx, +1)
+
+    merges: list[tuple[str, str]] = []
+    done: set[tuple[str, str]] = set()
+    for _ in range(n_merges):
+        best = None
+        for p, f in pair_freq.items():
+            if f <= 0 or p in done:
+                # `done` guards the stringwise-reformed-pair corner: a later
+                # merge can make two symbols adjacent whose pair string was
+                # already recorded
+                continue
+            if best is None or f > best[0] or (f == best[0] and p < best[1]):
+                best = (f, p)
+        if best is None or best[0] < 2:
+            break  # nothing repeats: further merges are noise
+        pair = best[1]
+        merges.append(pair)
+        done.add(pair)
+        merged = pair[0] + pair[1]
+        for idx in list(pair_words.get(pair, ())):
+            add_word(idx, -1)
+            syms = words[idx]
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == pair:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[idx] = out
+            add_word(idx, +1)
+        pair_freq.pop(pair, None)
+        pair_words.pop(pair, None)
+    return BpeVocab(tuple(merges))
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 4000,
+    max_words: int = 50_000,
+) -> BpeVocab:
+    """Train a vocab from a corpus DataFrame: ONE distributed word count
+    (native regexp_extract_all + explode + groupBy), top ``max_words`` by
+    frequency (ties by word — layout-invariant) collected to the driver,
+    then local merge learning. The corpus itself never leaves the
+    executors."""
+    wc = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(BPE_PRETOKEN_RE), F.lit(0)
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.desc("f"), F.asc("w"))
+        .limit(max_words)
+        .collect()
+    )
+    return learn_bpe({r["w"]: r["f"] for r in wc}, n_merges)
+
+
+# per-executor word->count caches, keyed by vocab identity (merge count +
+# first/last merge) so two vocabs never share entries
+_caches: dict[tuple, dict[str, int]] = {}
+
+
+def bpe_token_count_real(text: Column, vocab: BpeVocab) -> Column:
+    """REAL post-merge BPE token count as a Spark column (Arrow-batched
+    pandas UDF; the merge table rides the closure, the per-executor word
+    cache amortizes the merge loop across a Zipf word distribution)."""
+    merges = vocab.merges
+    key = (len(merges), merges[0] if merges else None, merges[-1] if merges else None)
+
+    @F.pandas_udf(LongType())
+    def count(s: pd.Series) -> pd.Series:  # type: ignore[misc]
+        v = BpeVocab(merges)
+        cache = _caches.setdefault(key, {})
+        return s.map(lambda t: 0 if t is None else v.count_text(t, cache))
+
+    return count(text)

@@ -275,9 +275,14 @@ def packing_stats(assignment: DataFrame, budget: int) -> DataFrame:
     return bins.agg(
         F.count(F.lit(1)).alias("n_bins"),
         F.sum("over").cast("long").alias("n_oversize"),
+        # try_divide: an all-oversize assignment (every doc beyond budget,
+        # e.g. a mis-sized budget probe) has NO regular bins — utilization
+        # is NULL then, not a crash
         F.round(
-            F.sum(F.when(F.col("over") == 0, F.col("fill")).otherwise(F.lit(0)))
-            / (F.sum((F.col("over") == 0).cast("long")) * F.lit(budget)),
+            F.try_divide(
+                F.sum(F.when(F.col("over") == 0, F.col("fill")).otherwise(F.lit(0))),
+                F.sum((F.col("over") == 0).cast("long")) * F.lit(budget),
+            ),
             6,
         ).alias("utilization"),
     ).crossJoin(assignment.agg(F.count(F.lit(1)).alias("n_docs")))

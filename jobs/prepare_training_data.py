@@ -57,6 +57,11 @@ def main() -> None:
                     help="keep at most N pages per registrable domain BEFORE "
                          "dedup (anti-spam/diversity quota; skew-safe hash "
                          "mode so a mega-domain never sorts)")
+    ap.add_argument("--bpe-vocab", metavar="PATH",
+                    help="merge table (textops/bpe.py json; train one with "
+                         "tools/train_bpe_vocab.py) — packing budgets then "
+                         "use REAL post-merge BPE token counts instead of "
+                         "the pre-tokenizer proxy")
     args = ap.parse_args()
 
     from datasketches_postgresql_spark.dedup.pipeline import DedupConfig, DedupPipeline
@@ -113,7 +118,16 @@ def main() -> None:
     # 5. token counts + packing (lengths shuffle; text joins back by id)
     if args.benchmark:
         docs = docs.persist()  # the anti-join re-plans the persisted base
-    docs = docs.withColumn("n_tokens", bpe_token_count(F.col("text")))
+    if args.bpe_vocab:
+        from datasketches_postgresql_spark.textops.bpe import (
+            BpeVocab,
+            bpe_token_count_real,
+        )
+
+        vocab = BpeVocab.load(args.bpe_vocab)
+        docs = docs.withColumn("n_tokens", bpe_token_count_real(F.col("text"), vocab))
+    else:
+        docs = docs.withColumn("n_tokens", bpe_token_count(F.col("text")))
     # persist: the stats collect below and the shard-write join both read
     # the assignment — without this the pack shuffle + Fenwick pass and the
     # token-count UDF run twice

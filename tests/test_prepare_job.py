@@ -61,3 +61,43 @@ class TestPrepareTrainingData:
         assert (
             df.groupBy("cluster_id").count().where("count > 1").count() == 0
         )
+
+
+class TestPrepareWithRealBpe:
+    def test_bpe_vocab_budgets(self, spark, tmp_path):
+        """--bpe-vocab swaps the packing length column to REAL post-merge
+        token counts; bins respect the budget in those units."""
+        import jobs.prepare_training_data as JOB
+        from datasketches_postgresql_spark.textops.bpe import BpeVocab, learn_bpe
+
+        vocab = learn_bpe(
+            {" the": 40, " and": 30, " data": 20, " spark": 10, "the": 25}, 50
+        )
+        vpath = str(tmp_path / "vocab.json")
+        vocab.save(vpath)
+        ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+        argv = [
+            "prepare_training_data.py",
+            "--generate", "400",
+            "--checkpoint", ck,
+            "--output", out,
+            "--budget", "512",
+            "--bpe-vocab", vpath,
+        ]
+        old = sys.argv
+        sys.argv = argv
+        try:
+            JOB.main()
+        finally:
+            sys.argv = old
+        df = spark.read.parquet(out)
+        bad = (
+            df.where(~F.col("oversize"))
+            .groupBy("bin_id")
+            .agg(F.sum("n_tokens").alias("s"))
+            .where(F.col("s") > 512)
+        )
+        assert bad.count() == 0
+        # n_tokens really is the loaded vocab's count for a sampled row
+        row = df.select("text", "n_tokens").first()
+        assert row["n_tokens"] == BpeVocab.load(vpath).count_text(row["text"])

@@ -260,7 +260,11 @@ def q_quantiles_double_family(spark, sf_dir):
     the reference's quantiles_double_sketch bytea holds via
     src/quantiles_double_sketch_c_adapter.cpp), so legacy sketch data
     imports directly. Gate pins the preamble bytes AND queries n + q25 +
-    median through the image in the exact regime (n per group <= 2k)."""
+    median through the image in the exact regime (n per group <= 2k), and
+    (round 4) the to/from WIRE ROUNDTRIP: decode + re-encode must be
+    byte-identical per group (wire_rt_ok — the reason this family exists
+    is that stored legacy image, so the codec identity is driver-pinned,
+    same pattern as cpc_distinct_users)."""
     sk = QD.quantiles_double_sketch_build(
         _ev(spark, sf_dir), ["event_type"], "value", k=_KLL_EXACT_K
     )
@@ -271,6 +275,9 @@ def q_quantiles_double_family(spark, sf_dir):
         QD.quantiles_double_sketch_get_n(F.col("sketch")).alias("n"),
         QD.quantiles_double_sketch_get_quantile(F.col("sketch"), 0.25).alias("q25"),
         QD.quantiles_double_sketch_get_quantile(F.col("sketch"), 0.5).alias("median"),
+        (
+            QD.quantiles_double_sketch_roundtrip(F.col("sketch")) == F.col("sketch")
+        ).cast("int").alias("wire_rt_ok"),
     )
 
 
@@ -1559,7 +1566,8 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT min(value) FROM r r2
                     WHERE r2.event_type = r.event_type AND r2.rn > r2.n * 0.25) AS q25,
                    (SELECT min(value) FROM r r2
-                    WHERE r2.event_type = r.event_type AND r2.rn > r2.n * 0.5) AS median
+                    WHERE r2.event_type = r.event_type AND r2.rn > r2.n * 0.5) AS median,
+                   1 AS wire_rt_ok
             FROM r GROUP BY event_type ORDER BY event_type
         """,
         "url_canonical_dedup": """

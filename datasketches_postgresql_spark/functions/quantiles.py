@@ -140,6 +140,21 @@ def quantiles_double_sketch_to_string(s: pd.Series) -> pd.Series:
     return pd.Series([None if st is None else st.to_string() for st in _rows(s)])
 
 
+@F.pandas_udf(BinaryType())
+def quantiles_double_sketch_roundtrip(s: pd.Series) -> pd.Series:
+    """Decode + re-encode the canonical serVer-3/family-8 image — the wire
+    pin: the result must be byte-identical to the input (the stored column
+    IS the legacy DoublesSketch image the reference persists,
+    /root/reference/META.json:50-53), proving the codec reads what it
+    writes with no private leniencies."""
+    return pd.Series(
+        [
+            None if b is None else _q.QuantilesState.deserialize(bytes(b)).serialize()
+            for b in s
+        ]
+    )
+
+
 def _arr(values) -> Column:
     return F.array(*[F.lit(float(v)) for v in values])
 

@@ -347,6 +347,56 @@ def q_text_line_dedup(spark, sf_dir):
     )
 
 
+def q_streaming_batch_equiv(spark, sf_dir):
+    """STREAMING tier batch-equivalence (round-4: the streaming operators
+    were pytest-only). The snapshot line cleaner runs as a REAL
+    2-micro-batch Structured Streaming job — parquet file source, one
+    file per trigger, Trigger.AvailableNow, through
+    streaming.line_dedup_foreach_batch with the batch tier's full-corpus
+    ``frequent_lines`` snapshot — and must reproduce the batch tier's
+    output EXACTLY, row for row and byte for byte. The oracle is the
+    batch tier's already-green SQL (text_line_dedup's), so streaming
+    correctness is driver-hash-verified against an independent engine.
+    ``two_batches_ok`` pins that the run really was incremental (two
+    distinct micro-batch ids), not one degenerate batch."""
+    import os
+    import tempfile
+
+    from datasketches_postgresql_spark.streaming.stream import (
+        line_dedup_foreach_batch,
+    )
+    from datasketches_postgresql_spark.textops.linededup import frequent_lines
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.replace(F.col("text"), F.lit(" table "), F.lit("\n")).alias("text")
+    )
+    # boilerplate statistics come from the full snapshot (the documented
+    # incremental-crawl contract), never from a micro-batch
+    freq = frequent_lines(d)
+    base = tempfile.mkdtemp(prefix="stream_equiv_")
+    src, out, ck = (os.path.join(base, x) for x in ("src", "out", "ck"))
+    # two source FILES -> with maxFilesPerTrigger=1, two micro-batches
+    d.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    d.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(line_dedup_foreach_batch(freq, out))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(out)
+    n_batches = res.select("batch_id").distinct().count()
+    return (
+        res.select("doc_id", "text_deduped", "n_lines", "n_dropped")
+        .withColumn("two_batches_ok", F.lit(int(n_batches == 2)))
+        .orderBy("doc_id")
+    )
+
+
 def q_sketch_to_string(spark, sf_dir):
     """theta_sketch_to_string (sql:177-179) + frequent_strings_sketch_
     to_string (sql:95-101) in one gate (merged round-2 theta_to_string +
@@ -622,23 +672,18 @@ def _aod_events(spark, sf_dir):
 
 
 def q_aod_moments(spark, sf_dir):
-    """aod_sketch_get_estimate + to_means + to_variances (sql:205-231) in
-    ONE gate (merged round-2 aod_means + aod_variances, and round-3
-    aod_estimate — keeps the gate list at exactly the driver's 50-row
-    recording window after webdedup_incremental joined it)."""
+    """aod_sketch_get_estimate + to_means + to_variances (sql:205-231) +
+    aod_sketch_to_kll_float_sketch median (sql:233-239) in ONE gate
+    (merged round-2 aod_means + aod_variances, round-3 aod_estimate, and
+    round-4 aod_to_kll_median — freeing the slot the streaming
+    batch-equivalence gate took; all four read the SAME built sketch)."""
     sk = AOD.aod_sketch_build(_aod_events(spark, sf_dir), [], "user_id", "vals")
+    kll_col = AOD.aod_sketch_to_kll_float_sketch(F.col("sketch"), 1, k=_KLL_EXACT_K)
     return sk.select(
         AOD.aod_sketch_get_estimate("sketch").cast("bigint").alias("distinct_users"),
         F.round(AOD.aod_sketch_to_means("sketch").getItem(0), 6).alias("mean_user_sum"),
         F.round(AOD.aod_sketch_to_variances("sketch").getItem(0), 4).alias("var_user_sum"),
-    )
-
-
-def q_aod_to_kll_median(spark, sf_dir):
-    sk = AOD.aod_sketch_build(_aod_events(spark, sf_dir), [], "user_id", "vals")
-    kll_col = AOD.aod_sketch_to_kll_float_sketch(F.col("sketch"), 1, k=_KLL_EXACT_K)
-    return sk.select(
-        F.round(KLL.kll_sketch_get_quantile(kll_col, 0.5), 4).alias("med_user_sum")
+        F.round(KLL.kll_sketch_get_quantile(kll_col, 0.5), 4).alias("med_user_sum"),
     )
 
 
@@ -1239,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         "text_pii_redact": q_text_pii_redact,
         "text_line_dedup": q_text_line_dedup,
+        "streaming_batch_equiv": q_streaming_batch_equiv,
         # -- sketch families ---------------------------------------------------
         "theta_distinct_users_by_type": q_theta_distinct_users_by_type,
         "theta_algebra": q_theta_algebra,
@@ -1264,7 +1310,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_to_string": q_sketch_to_string,
         "aod_moments": q_aod_moments,
         "aod_pair_setops": q_aod_pair_setops,
-        "aod_to_kll_median": q_aod_to_kll_median,
         "aod_ttest": q_aod_ttest,
         "aod_wire_roundtrip": q_aod_wire_roundtrip,
         # -- host-delegated relational shapes ---------------------------------
@@ -1318,6 +1363,33 @@ def oracle_sql() -> dict[str, str]:
                             FILTER (WHERE NOT dup), '') AS text_deduped,
                    count(*) AS n_lines,
                    count(*) FILTER (WHERE dup) AS n_dropped
+            FROM flagged GROUP BY doc_id ORDER BY doc_id
+        """,
+        "streaming_batch_equiv": """
+            -- identical to text_line_dedup's oracle (the batch tier IS the
+            -- spec the streaming run must match), plus the two-batch pin
+            WITH d2 AS (
+              SELECT doc_id, replace(text, ' table ', chr(10)) AS text FROM documents
+            ), ls AS (
+              SELECT doc_id, string_split(text, chr(10)) AS arr FROM d2
+            ), lines AS (
+              SELECT doc_id,
+                     unnest(arr) AS line,
+                     unnest(generate_series(1, len(arr))) AS pos
+              FROM ls
+            ), freq AS (
+              SELECT trim(line) AS norm FROM lines WHERE trim(line) <> ''
+              GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+            ), flagged AS (
+              SELECT l.doc_id, l.pos, l.line, (f.norm IS NOT NULL) AS dup
+              FROM lines l LEFT JOIN freq f ON trim(l.line) = f.norm
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE NOT dup), '') AS text_deduped,
+                   count(*) AS n_lines,
+                   count(*) FILTER (WHERE dup) AS n_dropped,
+                   1 AS two_batches_ok
             FROM flagged GROUP BY doc_id ORDER BY doc_id
         """,
         "sketch_bounds_exact": """
@@ -1675,10 +1747,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY estimate DESC, str
         """,
         "aod_moments": """
+            WITH sums AS (SELECT sum(value) AS s FROM events GROUP BY user_id),
+                 fs AS (SELECT CAST(CAST(s AS FLOAT) AS DOUBLE) AS s FROM sums),
+                 r AS (SELECT s, row_number() OVER (ORDER BY s) AS rn,
+                              count(*) OVER () AS n FROM fs)
             SELECT (SELECT count(DISTINCT user_id) FROM events) AS distinct_users,
-                   round(avg(s), 6) AS mean_user_sum,
-                   round(var_samp(s), 4) AS var_user_sum
-            FROM (SELECT sum(value) AS s FROM events GROUP BY user_id)
+                   (SELECT round(avg(s), 6) FROM sums) AS mean_user_sum,
+                   (SELECT round(var_samp(s), 4) FROM sums) AS var_user_sum,
+                   (SELECT round(min(s), 4) FROM r WHERE rn > n * 0.5) AS med_user_sum
         """,
         "aod_ttest": """
             SELECT 1 AS p_matches_exact,
@@ -1701,11 +1777,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, 17 AS family, count(*) AS n,
                    round(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS rank_100_incl
             FROM events GROUP BY event_type ORDER BY event_type
-        """,
-        "aod_to_kll_median": """
-            WITH sums AS (SELECT CAST(CAST(sum(value) AS FLOAT) AS DOUBLE) AS s FROM events GROUP BY user_id),
-                 r AS (SELECT s, row_number() OVER (ORDER BY s) AS rn, count(*) OVER () AS n FROM sums)
-            SELECT round(min(s), 4) AS med_user_sum FROM r WHERE rn > n * 0.5
         """,
         "relational_rollup": """
             SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n

@@ -56,7 +56,6 @@ Format (little-endian; Lang 2017 + the public datasketches-* sources):
 
 from __future__ import annotations
 
-import os
 import struct
 
 import numpy as np
@@ -74,8 +73,14 @@ _TABLES = None
 def _tables():
     global _TABLES
     if _TABLES is None:
-        path = os.path.join(os.path.dirname(__file__), "cpc_tables.npz")
-        _TABLES = dict(np.load(path).items())
+        import io
+        from importlib import resources
+
+        # importlib.resources (not __file__+open): this loads PER EXECUTOR
+        # inside the UDFs, and on a cluster the package arrives as the
+        # --py-files zip
+        data = resources.files(__package__).joinpath("cpc_tables.npz").read_bytes()
+        _TABLES = dict(np.load(io.BytesIO(data)).items())
     return _TABLES
 
 

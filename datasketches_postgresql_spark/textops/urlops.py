@@ -120,12 +120,15 @@ _psl_cache: dict[str, list[str]] | None = None
 def _psl() -> dict[str, list[str]]:
     global _psl_cache
     if _psl_cache is None:
-        import os
+        import io
+        from importlib import resources
 
         import numpy as np
 
-        path = os.path.join(os.path.dirname(__file__), "psl_table.npz")
-        with np.load(path) as z:
+        # importlib.resources (not __file__+open): the package may be
+        # imported from the --py-files zip on a cluster
+        data = resources.files(__package__).joinpath("psl_table.npz").read_bytes()
+        with np.load(io.BytesIO(data)) as z:
             _psl_cache = {
                 k: z[k].tolist() for k in z.files if k != "source"
             }

@@ -2,9 +2,12 @@
 
     python tools/make_pyfiles.py [out.zip]     # default: dist/dsps.zip
 
-Zips the ``datasketches_postgresql_spark`` package (source only, no
-tests/caches) with deterministic member order and zeroed timestamps, so
-the artifact hash is reproducible for a given tree — the property a
+Zips the ``datasketches_postgresql_spark`` package (source plus the
+compiled data tables — cpc_tables.npz loads PER EXECUTOR inside the CPC
+UDFs and psl_table.npz on the driver, so both must ride the artifact;
+their loaders read via importlib.resources and therefore work from
+inside the zip) with deterministic member order and zeroed timestamps,
+so the artifact hash is reproducible for a given tree — the property a
 deploy pipeline diffs on. Submit with:
 
     spark-submit --py-files dist/dsps.zip jobs/run_dedup.py ...
@@ -26,7 +29,7 @@ def build(out_path: str) -> list[str]:
     for dirpath, dirnames, filenames in os.walk(root):
         dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
         for fn in sorted(filenames):
-            if fn.endswith(".py"):
+            if fn.endswith((".py", ".npz", ".json")):
                 full = os.path.join(dirpath, fn)
                 members.append(os.path.relpath(full, REPO))
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)

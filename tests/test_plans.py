@@ -252,6 +252,22 @@ class TestRound3OpPlans:
         assert_column_pruned(q, "lang")
         assert_column_pruned(q, "source")
 
+    def test_psl_registrable_domain_stays_in_codegen(self, spark, sf_dir):
+        """The full-PSL lookup is per-depth InSet literal sets — pure
+        native expressions: no Python eval in the plan, and the scan
+        prunes to the url column."""
+        from datasketches_postgresql_spark.textops.urlops import registrable_domain
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.concat(F.lit("https://s"), F.col("doc_id").cast("string"),
+                     F.lit(".github.io/p")).alias("url"),
+        )
+        q = d.select(registrable_domain(F.col("url")).alias("domain"))
+        plan = formatted_plan(q)
+        for python_op in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+            assert python_op not in plan, plan[:4000]
+        assert has_whole_stage_codegen(q), plan[:4000]
+
     def test_domain_cap_rank_single_window_exchange(self, spark, sf_dir):
         """rank-mode cap = one hash exchange on the 8-byte domain key."""
         from datasketches_postgresql_spark.textops.urlops import cap_per_domain

@@ -231,7 +231,9 @@ def bpe_token_count_real(text: Column, vocab: BpeVocab) -> Column:
     pandas UDF; the merge table rides the closure, the per-executor word
     cache amortizes the merge loop across a Zipf word distribution)."""
     merges = vocab.merges
-    key = (len(merges), merges[0] if merges else None, merges[-1] if merges else None)
+    # key the executor cache on the FULL merge table content (a partial
+    # key could alias two vocabs and cross-contaminate cached counts)
+    key = (len(merges), hash(merges))
 
     @F.pandas_udf(LongType())
     def count(s: pd.Series) -> pd.Series:  # type: ignore[misc]

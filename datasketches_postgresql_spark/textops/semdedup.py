@@ -155,8 +155,18 @@ def semdedup_pairs(
         )
     from .ann import lsh_bucket
 
-    size = F.count(F.lit(1)).over(Window.partitionBy("cluster"))
-    sized = assigned.withColumn("__over", size > max_cluster)
+    # over-cap clusters via agg + BROADCAST of only the over-cap ids (a
+    # window count would sort the full assignment; the over-cap table is
+    # tiny by construction — same shape as cap_per_domain's hash mode)
+    over_ids = (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("__cn"))
+        .where(F.col("__cn") > max_cluster)
+        .select("cluster", F.lit(True).alias("__over"))
+    )
+    sized = assigned.join(F.broadcast(over_ids), "cluster", "left").withColumn(
+        "__over", F.coalesce(F.col("__over"), F.lit(False))
+    )
     under = sized.where(~F.col("__over"))
     over = sized.where(F.col("__over"))
 
@@ -183,12 +193,24 @@ def semdedup_pairs(
     # The salt is seeded by the TABLE, so the nsplit partitions are
     # independent across tables: a pair split in one table co-salts in
     # another with prob 1 - (1 - 1/nsplit)^n_tables, instead of being
-    # forfeited identically everywhere.
-    cell = F.count(F.lit(1)).over(Window.partitionBy("cluster", "table", "bucket"))
-    nsplit = F.greatest(F.lit(1), F.ceil(cell / F.lit(max_cluster))).cast("long")
-    ids = buckets.withColumn(
-        "salt", F.pmod(F.xxhash64(F.col("id"), F.col("table")), nsplit).cast("int")
-    ).select("id", "cluster", "table", "bucket", "salt")
+    # forfeited identically everywhere. Cell sizes again via agg +
+    # broadcast of only the over-cap cells (absent -> nsplit 1).
+    hot_cells = (
+        buckets.groupBy("cluster", "table", "bucket")
+        .agg(F.count(F.lit(1)).alias("__cell"))
+        .where(F.col("__cell") > max_cluster)
+    )
+    nsplit = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.coalesce(F.col("__cell"), F.lit(0)) / F.lit(max_cluster)).cast("long"),
+    )
+    ids = (
+        buckets.join(F.broadcast(hot_cells), ["cluster", "table", "bucket"], "left")
+        .withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("id"), F.col("table")), nsplit).cast("int")
+        )
+        .select("id", "cluster", "table", "bucket", "salt")
+    )
     keys = ["cluster", "table", "bucket", "salt"]
     cand_ids = (
         ids.select(F.col("id").alias("a"), *keys)

@@ -228,18 +228,15 @@ def q_kll_rank_median_minmax(spark, sf_dir):
         "event_type",
         KLL.kll_sketch_get_quantile(F.col("sketch"), 0.5).cast("float").alias("med_f"),
     )
-    return dbl.join(flt, "event_type")
-
-
-def q_kll_merge_median(spark, sf_dir):
-    per_type = KLL.kll_double_sketch_build(
-        _ev(spark, sf_dir), ["event_type"], "value", k=_KLL_EXACT_K
+    # round-4 merge: kll_sketch_merge (the sql merge aggregate) rides as
+    # two constant columns — the per-type sketches re-aggregate to ONE
+    # global sketch whose median/n the oracle replays globally (slot
+    # freed for text_quality_model)
+    merged = KLL.kll_sketch_merge(skd, [], "sketch", k=_KLL_EXACT_K).select(
+        KLL.kll_sketch_get_quantile(F.col("sketch"), 0.5).alias("med_merged"),
+        KLL.kll_sketch_get_n(F.col("sketch")).alias("n_merged"),
     )
-    merged = KLL.kll_sketch_merge(per_type, [], "sketch", k=_KLL_EXACT_K)
-    return merged.select(
-        KLL.kll_sketch_get_quantile(F.col("sketch"), 0.5).alias("med"),
-        KLL.kll_sketch_get_n(F.col("sketch")).alias("n"),
-    )
+    return dbl.join(flt, "event_type").crossJoin(merged)
 
 
 def q_req_rank_inclusive(spark, sf_dir):
@@ -345,6 +342,49 @@ def q_text_line_dedup(spark, sf_dir):
     return dedup_lines(d).orderBy("doc_id").select(
         "doc_id", "text_deduped", "n_lines", "n_dropped"
     )
+
+
+def q_text_quality_model(spark, sf_dir):
+    """Trainable quality classifier (textops/quality_model.py — the
+    fastText/CCNet-style learned tier above the heuristic signals). The
+    gate replays the fixture model's exact scoring plan: spam docs are
+    constructed deterministically (doc_id%2=1 gets one of four spam
+    tails by doc_id%4 — the identical rule the committed fixture was
+    TRAINED on by tools/train_quality_fixture.py; the spam lexicon was
+    learned from data, not hand-weighted), scoring is explode tokens ->
+    broadcast integer-weight join -> exact BIGINT mean logit, and the
+    oracle re-computes the logit word-for-word from the same weight
+    table inlined as VALUES — so the learned model's corpus-wide
+    scores are driver-hash-verified against an independent engine,
+    including the classifier's decisions (is_spam_pred) and their
+    agreement with the construction labels."""
+    from datasketches_postgresql_spark.textops.quality_model import (
+        QualityModel,
+        quality_z_micro,
+    )
+
+    import os as _os
+
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "datasketches_postgresql_spark", "textops", "quality_model_fixture.json",
+    )
+    model = QualityModel.load(fixture)
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "tools"))
+    from train_quality_fixture import spam_text_col
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", spam_text_col().alias("text"), (F.col("doc_id") % 2).alias("y")
+    )
+    z = quality_z_micro(d, "text", model, "doc_id")
+    return z.select(
+        "doc_id",
+        F.col("z_micro"),
+        (F.col("z_micro") > 0).cast("int").alias("is_spam_pred"),
+        ((F.col("z_micro") > 0).cast("int") == F.col("y")).cast("int").alias("correct"),
+    ).orderBy("doc_id")
 
 
 def q_streaming_batch_equiv(spark, sf_dir):
@@ -1285,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": q_text_pii_redact,
         "text_line_dedup": q_text_line_dedup,
         "streaming_batch_equiv": q_streaming_batch_equiv,
+        "text_quality_model": q_text_quality_model,
         # -- sketch families ---------------------------------------------------
         "theta_distinct_users_by_type": q_theta_distinct_users_by_type,
         "theta_algebra": q_theta_algebra,
@@ -1295,7 +1336,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_tgt4_distinct": q_hll_tgt4_distinct,
         "cpc_distinct_users": q_cpc_distinct_users,
         "kll_rank_median_minmax": q_kll_rank_median_minmax,
-        "kll_merge_median": q_kll_merge_median,
         "kll_distributions": q_kll_distributions,
         "kll_wire_roundtrip": q_kll_wire_roundtrip,
         "req_rank_inclusive": q_req_rank_inclusive,
@@ -1323,7 +1363,50 @@ def oracle_sql() -> dict[str, str]:
     planted_pairs = (
         f"SELECT doc_id AS a, doc_id + {_COPY_OFFSET} AS b FROM documents ORDER BY a"
     )
+    # the quality-model oracle replays the fixture model's learned
+    # integer weights word-for-word (inlined VALUES from the committed
+    # artifact — same bytes the Spark gate loads)
+    import json as _json
+    import os as _os
+
+    _fx = _json.loads(
+        open(
+            _os.path.join(
+                _os.path.dirname(_os.path.abspath(__file__)),
+                "datasketches_postgresql_spark", "textops",
+                "quality_model_fixture.json",
+            ),
+            encoding="utf-8",
+        ).read()
+    )
+    _wvals = ", ".join(f"('{k}', {w})" for k, w in _fx["weights"])
+    quality_model_sql = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 1 THEN text ||
+                   CASE CAST(doc_id % 4 AS INT)
+                     WHEN 1 THEN ' subscribe now for exclusive deals and free bonus offers'
+                     WHEN 2 THEN ' buy cheap pills online limited offer act now'
+                     WHEN 3 THEN ' congratulations you are the lucky winner claim your reward'
+                     ELSE ' click here to win a free prize now' END
+                 ELSE text END AS t2
+          FROM documents),
+        wts(word, w) AS (VALUES {_wvals}),
+        toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(t2), '[a-z]+')) AS tok FROM d),
+        nt AS (SELECT doc_id, len(regexp_extract_all(lower(t2), '[a-z]+')) AS n FROM d),
+        zs AS (SELECT toks.doc_id, sum(w) AS s FROM toks JOIN wts ON tok = word GROUP BY toks.doc_id),
+        z AS (SELECT d.doc_id,
+                     CAST(floor(coalesce(zs.s, 0) * 1.0 / greatest(nt.n, 1))
+                          + {_fx["bias_micro"]} AS BIGINT) AS z_micro
+              FROM d LEFT JOIN zs ON d.doc_id = zs.doc_id
+                     JOIN nt ON d.doc_id = nt.doc_id)
+        SELECT doc_id, z_micro,
+               CAST(z_micro > 0 AS INT) AS is_spam_pred,
+               CAST(CAST(z_micro > 0 AS INT) = (doc_id % 2) AS INT) AS correct
+        FROM z ORDER BY doc_id
+    """
     return {
+        "text_quality_model": quality_model_sql,
         "theta_distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id) AS distinct_users
             FROM events GROUP BY event_type ORDER BY event_type
@@ -1439,7 +1522,12 @@ def oracle_sql() -> dict[str, str]:
             mf AS (
               SELECT event_type, CAST(min(v) AS REAL) AS med_f FROM r
               WHERE rnf > n * 0.5 GROUP BY event_type)
-            SELECT rk.event_type, rk.rank_100, md.med, rk.n, rk.vmin, rk.vmax, mf.med_f
+            SELECT rk.event_type, rk.rank_100, md.med, rk.n, rk.vmin, rk.vmax, mf.med_f,
+                   (SELECT min(value) FROM
+                      (SELECT value, row_number() OVER (ORDER BY value) AS rn,
+                              count(*) OVER () AS n FROM events)
+                    WHERE rn > n * 0.5) AS med_merged,
+                   (SELECT count(*) FROM events) AS n_merged
             FROM rk JOIN md USING (event_type) JOIN mf USING (event_type)
             ORDER BY event_type
         """,
@@ -1479,15 +1567,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, 15 AS family, max(n) AS n,
                    min(CASE WHEN rn > n * 0.5 THEN value END) AS med
             FROM r GROUP BY event_type ORDER BY event_type
-        """,
-        "kll_merge_median": """
-            WITH r AS (
-              SELECT value,
-                     row_number() OVER (ORDER BY value) AS rn,
-                     count(*) OVER () AS n
-              FROM events)
-            SELECT min(value) AS med, (SELECT count(*) FROM events) AS n
-            FROM r WHERE rn > n * 0.5
         """,
         "kll_distributions": """
             WITH pmfcdf AS (

@@ -77,8 +77,7 @@ HEADLINE = [
     "theta_distinct_users_by_type",
     "theta_algebra",  # round-3 merges: union+intersection reaggregate, then pairwise set ops
     "hll_distinct_langs_by_source",
-    "kll_rank_median_minmax",
-    "kll_merge_median",
+    "kll_rank_median_minmax",  # round-4 merge: kll_merge_median folded in (merged-sketch median/n ride as columns)
     "fi_heavy_merge",  # round-3 merge: heavy hitters + merge-rebuild in one gate
     "aod_moments",
     "dedup_exact",

@@ -1,0 +1,140 @@
+"""Trainable quality classifier (textops/quality_model.py): deterministic
+training, exact-integer scoring under any layout, both feature modes, and
+the committed fixture artifact."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_postgresql_spark.textops import quality_model as QM
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+SPAM = " click here to win a free prize now subscribe"
+
+
+def _labeled(spark, n=300):
+    """Synthetic spam-vs-clean: odd ids carry a spam tail."""
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("table scan join filter row value part d"),
+            (F.col("id") % 17).cast("string"),
+        ).alias("text"),
+    )
+    return base.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 1, F.concat(F.col("text"), F.lit(SPAM)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        (F.col("doc_id") % 2).cast("int").alias("y"),
+    )
+
+
+class TestTrainAndScore:
+    def test_learns_the_spam_lexicon_vocab_mode(self, spark):
+        d = _labeled(spark)
+        m = QM.train_quality_model(
+            d, "text", "y", mode="vocab", vocab_size=64, max_sample=300,
+            iters=300, lr=2.0,
+        )
+        words = dict(m.weights)
+        # spam markers learned POSITIVE, nothing hand-weighted
+        assert words.get("free", 0) > 0 and words.get("prize", 0) > 0
+        sc = QM.quality_score(d, "text", m, "doc_id")
+        acc = sc.select(
+            (((F.col("quality_p") > 0.5).cast("int")) == F.col("y"))
+            .cast("int").alias("ok")
+        ).agg(F.avg("ok")).collect()[0][0]
+        assert acc >= 0.95, acc
+
+    def test_training_is_layout_invariant(self, spark):
+        d = _labeled(spark)
+        m1 = QM.train_quality_model(d, "text", "y", mode="vocab", vocab_size=32,
+                                    max_sample=300, iters=100)
+        m2 = QM.train_quality_model(d.repartition(7), "text", "y", mode="vocab",
+                                    vocab_size=32, max_sample=300, iters=100)
+        assert m1 == m2
+
+    def test_scores_are_exact_integers_any_layout(self, spark):
+        d = _labeled(spark)
+        m = QM.train_quality_model(d, "text", "y", mode="vocab", vocab_size=32,
+                                   max_sample=300, iters=100)
+        z1 = {r["doc_id"]: r["z_micro"]
+              for r in QM.quality_z_micro(d, "text", m, "doc_id").collect()}
+        z2 = {r["doc_id"]: r["z_micro"]
+              for r in QM.quality_z_micro(d.repartition(13), "text", m, "doc_id").collect()}
+        assert z1 == z2  # BIGINT accumulation: bit-identical, not approximately
+
+    def test_score_py_matches_spark(self, spark):
+        d = _labeled(spark, n=40)
+        m = QM.train_quality_model(d, "text", "y", mode="vocab", vocab_size=32,
+                                   max_sample=40, iters=100)
+        rows = QM.quality_score(d, "text", m, "doc_id").collect()
+        for r in rows[:10]:
+            assert abs(m.score_py(r["text"]) - r["quality_p"]) < 1e-12
+        zrows = QM.quality_z_micro(d, "text", m, "doc_id").collect()
+        for r in zrows[:10]:
+            assert m.z_micro_py(r["text"]) == r["z_micro"]
+
+    def test_hashed_mode_scales_path(self, spark):
+        d = _labeled(spark)
+        m = QM.train_quality_model(d, "text", "y", mode="hashed",
+                                   n_buckets=4096, max_sample=300, iters=300, lr=2.0)
+        assert m.mode == "hashed" and m.n_buckets == 4096
+        sc = QM.quality_score(d, "text", m, "doc_id")
+        acc = sc.select(
+            (((F.col("quality_p") > 0.5).cast("int")) == F.col("y"))
+            .cast("int").alias("ok")
+        ).agg(F.avg("ok")).collect()[0][0]
+        assert acc >= 0.95, acc
+        with pytest.raises(NotImplementedError):
+            m.score_py("anything")
+
+    def test_save_load_roundtrip(self, spark, tmp_path):
+        d = _labeled(spark, n=60)
+        m = QM.train_quality_model(d, "text", "y", mode="vocab", vocab_size=16,
+                                   max_sample=60, iters=50)
+        p = tmp_path / "m.json"
+        m.save(p)
+        assert QM.QualityModel.load(p) == m
+
+    def test_null_and_empty_text(self, spark):
+        d = _labeled(spark, n=20)
+        m = QM.train_quality_model(d, "text", "y", mode="vocab", vocab_size=16,
+                                   max_sample=20, iters=50)
+        probe = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "free prize")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r["z_micro"]
+               for r in QM.quality_z_micro(probe, "text", m, "doc_id").collect()}
+        assert out[1] == m.bias_micro  # NULL text -> bias only, no crash
+        assert out[2] == m.bias_micro
+        assert out[3] > out[2]  # spam words push the logit up
+
+
+class TestFixtureArtifact:
+    def test_committed_fixture_separates_on_unseen_sf(self, spark, sf_dir):
+        """The fixture trained at sf0.01 generalizes to the sf0.001
+        corpus under the same construction (different documents)."""
+        from train_quality_fixture import spam_text_col
+
+        fx = os.path.join(
+            os.path.dirname(__file__), "..",
+            "datasketches_postgresql_spark", "textops",
+            "quality_model_fixture.json",
+        )
+        m = QM.QualityModel.load(fx)
+        assert m.mode == "vocab" and len(m.weights) > 10
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", spam_text_col().alias("text"),
+            (F.col("doc_id") % 2).cast("int").alias("y"),
+        )
+        sc = QM.quality_score(d, "text", m, "doc_id")
+        acc = sc.select(
+            (((F.col("quality_p") > 0.5).cast("int")) == F.col("y"))
+            .cast("int").alias("ok")
+        ).agg(F.avg("ok")).collect()[0][0]
+        assert acc >= 0.9, acc

@@ -62,6 +62,11 @@ def main() -> None:
                          "tools/train_bpe_vocab.py) — packing budgets then "
                          "use REAL post-merge BPE token counts instead of "
                          "the pre-tokenizer proxy")
+    ap.add_argument("--quality-model", metavar="PATH",
+                    help="trained classifier (textops/quality_model.py json) "
+                         "— adds a learned quality tier after the Gopher "
+                         "rules: drop docs scoring below --quality-threshold")
+    ap.add_argument("--quality-threshold", type=float, default=0.5)
     args = ap.parse_args()
 
     from datasketches_postgresql_spark.dedup.pipeline import DedupConfig, DedupPipeline
@@ -105,6 +110,24 @@ def main() -> None:
     # feeds the count, the token pass, the pack join and the shard write
     docs = gopher_filter(docs, "text", min_words=30).where("keep").drop("keep").persist()
     counts["after_quality"] = docs.count()
+
+    # 3b. learned quality tier (optional): the trained classifier scores
+    # every survivor (broadcast weight join, exact integer logit) and the
+    # threshold drops the low-quality tail
+    if args.quality_model:
+        from datasketches_postgresql_spark.textops.quality_model import (
+            QualityModel,
+            quality_score,
+        )
+
+        qm = QualityModel.load(args.quality_model)
+        docs = (
+            quality_score(docs, "text", qm, "doc_id")
+            .where(F.col("quality_p") >= args.quality_threshold)
+            .drop("quality_p")
+            .persist()
+        )
+        counts["after_quality_model"] = docs.count()
 
     # 4. benchmark decontamination (optional)
     if args.benchmark:

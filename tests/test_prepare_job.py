@@ -3,6 +3,7 @@ crawl pages -> dedup -> redact -> filter -> decontaminate -> pack -> split
 -> shards, exercised in-process on a small corpus."""
 
 import json
+import os
 import sys
 
 import pytest
@@ -101,3 +102,40 @@ class TestPrepareWithRealBpe:
         # n_tokens really is the loaded vocab's count for a sampled row
         row = df.select("text", "n_tokens").first()
         assert row["n_tokens"] == BpeVocab.load(vpath).count_text(row["text"])
+
+
+class TestPrepareWithQualityModel:
+    def test_quality_model_tier_drops_low_scorers(self, spark, tmp_path):
+        """--quality-model adds the learned tier: survivors all score at
+        or above the threshold under the loaded model."""
+        import jobs.prepare_training_data as JOB
+        from datasketches_postgresql_spark.textops.quality_model import (
+            QualityModel,
+            quality_score,
+        )
+
+        fx = os.path.join(
+            os.path.dirname(__file__), "..",
+            "datasketches_postgresql_spark", "textops",
+            "quality_model_fixture.json",
+        )
+        ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+        argv = [
+            "prepare_training_data.py",
+            "--generate", "400",
+            "--checkpoint", ck,
+            "--output", out,
+            "--quality-model", fx,
+            "--quality-threshold", "0.2",
+        ]
+        old = sys.argv
+        sys.argv = argv
+        try:
+            JOB.main()
+        finally:
+            sys.argv = old
+        df = spark.read.parquet(out)
+        m = QualityModel.load(fx)
+        scored = quality_score(df, "text", m, "doc_id")
+        assert scored.where(F.col("quality_p") < 0.2).count() == 0
+        assert df.count() > 0

@@ -61,3 +61,54 @@ def hash_split(
     # the last split takes the remainder, immune to float boundary dust
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn(col_name, expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    rate,
+    id_col: str = "doc_id",
+    seed: int = 9,
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff its [0,1) hash
+    bucket falls under ``rate`` — a pure function of (id, seed), so the
+    SAME rows survive under any partitioning, parallelism, or re-run
+    (``df.sample`` has the same per-partition-RNG trap as randomSplit).
+
+    ``rate`` may be a float (uniform downsampling) or a Column in [0, 1]
+    (per-row rates — the dataset-mixing primitive: give each row the
+    weight of its source/domain/quality tier and one projection applies
+    the whole mixture). Rows whose rate is NULL are dropped (no weight =
+    not in the mix). Zero-shuffle projection + filter.
+
+    Seeds: use a seed disjoint from hash_split's so mixing and splitting
+    stay independent events (the same id's split bucket and sample
+    bucket are decorrelated hashes)."""
+    r = F.lit(float(rate)) if isinstance(rate, (int, float)) else rate
+    return df.where(split_bucket(F.col(id_col), seed) < r)
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 9,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Dataset mixing (the DoReMi / The-Pile recipe shape): sample each
+    source at its own rate in ONE deterministic pass. ``weights`` maps
+    source value -> keep fraction in [0, 1]; sources not listed keep
+    ``default_rate`` (0 = dropped). Built on weighted_sample, so the mix
+    is reproducible row-for-row across runs and layouts, and an
+    incremental batch mixes exactly as the full corpus would."""
+    for s, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"weight for {s!r} must be in [0, 1], got {w}")
+    rate = None
+    for s, w in weights.items():
+        cond = F.col(source_col) == s
+        rate = F.when(cond, w) if rate is None else rate.when(cond, w)
+    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(
+        float(default_rate)
+    )
+    return weighted_sample(df, rate, id_col=id_col, seed=seed)

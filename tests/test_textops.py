@@ -942,3 +942,51 @@ class TestDomainCaps:
         assert sum(1 for r in kept if "tiny" in r["url"]) == 10
         again = sorted(r["url"] for r in cap_per_domain(df.repartition(7), "url", max_docs=100, mode="hash").collect())
         assert again == sorted(r["url"] for r in kept)
+
+
+class TestMixtureSampling:
+    def test_weighted_sample_deterministic_and_calibrated(self, spark):
+        from datasketches_postgresql_spark.textops.split import weighted_sample
+
+        df = spark.range(20000).select(F.col("id").alias("doc_id"))
+        kept = weighted_sample(df, 0.25, seed=3)
+        n = kept.count()
+        assert abs(n - 5000) < 3 * (20000 * 0.25 * 0.75) ** 0.5  # 3 sigma
+        again = weighted_sample(df.repartition(17), 0.25, seed=3)
+        assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+            r["doc_id"] for r in kept.collect()
+        )
+        # incremental-batch property: a subset mixes exactly as the whole
+        sub = weighted_sample(df.where("doc_id < 1000"), 0.25, seed=3)
+        whole = {r["doc_id"] for r in kept.collect() if r["doc_id"] < 1000}
+        assert {r["doc_id"] for r in sub.collect()} == whole
+
+    def test_mix_sources_rates_and_default(self, spark):
+        from datasketches_postgresql_spark.textops.split import mix_sources
+
+        df = spark.range(30000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 3 == 0, "wiki")
+            .when(F.col("id") % 3 == 1, "web")
+            .otherwise("forum")
+            .alias("source"),
+        )
+        mixed = mix_sources(df, {"wiki": 1.0, "web": 0.2}, seed=5)
+        by = {r["source"]: r["n"] for r in
+              mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert by["wiki"] == 10000            # rate 1.0 keeps everything
+        assert abs(by["web"] - 2000) < 3 * (10000 * 0.2 * 0.8) ** 0.5
+        assert "forum" not in by              # default_rate 0 drops unlisted
+        # split independence: sampling must not correlate with hash_split
+        from datasketches_postgresql_spark.textops.split import hash_split
+
+        sp = hash_split(mixed, {"train": 0.9, "val": 0.1}, seed=0)
+        vf = sp.where("split = 'val'").count() / max(1, sp.count())
+        assert 0.07 < vf < 0.13
+
+    def test_weighted_sample_rejects_nothing_silently(self, spark):
+        from datasketches_postgresql_spark.textops.split import mix_sources
+
+        df = spark.range(10).select(F.col("id").alias("doc_id"), F.lit("x").alias("source"))
+        with pytest.raises(ValueError, match="must be in"):
+            mix_sources(df, {"x": 1.5})

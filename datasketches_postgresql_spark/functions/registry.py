@@ -262,8 +262,11 @@ def register_all(spark: SparkSession) -> None:
             # beyond 2^53 a float64 cannot represent every long: the
             # rounded value would still pass the integrality check while
             # the murmur coupons silently diverge from a sketch built on
-            # the true keys — refuse rather than betray exact interop
-            if np.any(np.abs(arr) > 2.0**53):
+            # the true keys — refuse rather than betray exact interop.
+            # >= (not >): 2^53 itself is reachable by ROUNDING from the
+            # unrepresentable 2^53+1, so a value equal to the boundary
+            # cannot be trusted either
+            if np.any(np.abs(arr) >= 2.0**53):
                 raise ValueError(
                     "cpc_sketch_build_compat: integer keys above 2^53 were "
                     "rendered as lossy float64 (nullable BIGINT via Arrow) — "

@@ -256,32 +256,37 @@ def _uncompress_pairs(words: np.ndarray, num_pairs: int, base_bits: int) -> np.n
     lo_mask = (1 << base_bits) - 1
     out = np.empty(num_pairs, dtype=np.uint32)
     pred_row, pred_col, pos = 0, 0, 0
-    for i in range(num_pairs):
-        e = dec65[(w[pos >> 3] >> (pos & 7)) & 0xFFF]
-        pos += e >> 8
-        x_delta = e & 0xFF
-        # unary high part: scan for the terminating 1-bit, 32 bits a stride
-        hi = 0
-        while True:
-            chunk = (w[pos >> 3] >> (pos & 7)) & 0xFFFFFFFF
-            if chunk:
-                z = (chunk & -chunk).bit_length() - 1
-                hi += z
-                pos += z + 1
-                break
-            hi += 32
-            pos += 32
-            if hi > 1 << 20:
-                raise ValueError("corrupt CPC stream: unbounded unary run")
-        lo = (w[pos >> 3] >> (pos & 7)) & lo_mask
-        pos += base_bits
-        y_delta = (hi << base_bits) | lo
-        row = pred_row + y_delta
-        if y_delta:
-            pred_col = 0
-        col = pred_col + x_delta
-        out[i] = (row << 6) | col
-        pred_row, pred_col = row, col + 1
+    try:
+        for i in range(num_pairs):
+            e = dec65[(w[pos >> 3] >> (pos & 7)) & 0xFFF]
+            pos += e >> 8
+            x_delta = e & 0xFF
+            # unary high part: scan for the terminating 1-bit, 32 bits a stride
+            hi = 0
+            while True:
+                chunk = (w[pos >> 3] >> (pos & 7)) & 0xFFFFFFFF
+                if chunk:
+                    z = (chunk & -chunk).bit_length() - 1
+                    hi += z
+                    pos += z + 1
+                    break
+                hi += 32
+                pos += 32
+                if hi > 1 << 20:
+                    raise ValueError("corrupt CPC stream: unbounded unary run")
+            lo = (w[pos >> 3] >> (pos & 7)) & lo_mask
+            pos += base_bits
+            y_delta = (hi << base_bits) | lo
+            row = pred_row + y_delta
+            if y_delta:
+                pred_col = 0
+            col = pred_col + x_delta
+            out[i] = (row << 6) | col
+            pred_row, pred_col = row, col + 1
+    except IndexError:
+        # a truncated/corrupt stream walks the window index off the end —
+        # surface the documented controlled error, not a bare IndexError
+        raise ValueError("corrupt CPC stream: truncated pairs section") from None
     return out
 
 
@@ -302,10 +307,13 @@ def _uncompress_window(words: np.ndarray, k: int, pseudo_phase: int) -> np.ndarr
     w = _winlist(words)
     out = bytearray(k)
     pos = 0
-    for i in range(k):
-        e = dec[(w[pos >> 3] >> (pos & 7)) & 0xFFF]
-        pos += e >> 8
-        out[i] = e & 0xFF
+    try:
+        for i in range(k):
+            e = dec[(w[pos >> 3] >> (pos & 7)) & 0xFFF]
+            pos += e >> 8
+            out[i] = e & 0xFF
+    except IndexError:
+        raise ValueError("corrupt CPC stream: truncated window section") from None
     return np.frombuffer(bytes(out), dtype=np.uint8)
 
 
@@ -417,49 +425,62 @@ def deserialize_canonical(image: bytes, seed: int = DEFAULT_SEED) -> bytes:
     k = 1 << lg_k
     has_hip = bool(ordinal & 1)
     has_window = bool(ordinal & 4)
-    (c,) = struct.unpack_from("<I", image, 8)
-    if not has_window:  # SPARSE_HYBRID
-        (sv_len,) = struct.unpack_from("<I", image, 12)
-        sv_off = 32 if has_hip else 16
-        sv = np.frombuffer(image, dtype="<u4", count=sv_len, offset=sv_off)
-        pairs = _uncompress_pairs(sv, c, golomb_base_bits(k + c, c))
-        # keep the SPARSE internal form: the decoded pairs ARE the kernel's
-        # sorted-unique coupon array (a dense matrix is 8*2^lgK bytes per
-        # sketch — 512 MB at the format's max lgK 26, where the coupon list
-        # is a few KB)
-        return _c.serialize(lg_k, np.ascontiguousarray(pairs, dtype="<u4"), None, compat=True)
-    offset = determine_correct_offset(lg_k, c)
-    has_sv = bool(ordinal & 2)
-    if not has_sv:  # NOSV
-        (w_len,) = struct.unpack_from("<I", image, 12)
-        w_off = 32 if has_hip else 16
-        num_sv, sv = 0, None
-    else:
-        (num_sv,) = struct.unpack_from("<I", image, 12)
-        if has_hip:
-            sv_len, w_len = struct.unpack_from("<II", image, 32)
-            w_off = 40
+    # everything past the validated preamble is section parsing: a
+    # truncated/corrupt payload fails the documented way (struct reads
+    # past the buffer and np.frombuffer short counts both raise their own
+    # ValueErrors; the decoders raise IndexError via the window list)
+    try:
+        (c,) = struct.unpack_from("<I", image, 8)
+        if not has_window:  # SPARSE_HYBRID
+            (sv_len,) = struct.unpack_from("<I", image, 12)
+            sv_off = 32 if has_hip else 16
+            sv = np.frombuffer(image, dtype="<u4", count=sv_len, offset=sv_off)
+            pairs = _uncompress_pairs(sv, c, golomb_base_bits(k + c, c))
+            # keep the SPARSE internal form: the decoded pairs ARE the kernel's
+            # sorted-unique coupon array (a dense matrix is 8*2^lgK bytes per
+            # sketch — 512 MB at the format's max lgK 26, where the coupon list
+            # is a few KB)
+            return _c.serialize(
+                lg_k, np.ascontiguousarray(pairs, dtype="<u4"), None, compat=True
+            )
+        offset = determine_correct_offset(lg_k, c)
+        has_sv = bool(ordinal & 2)
+        if not has_sv:  # NOSV
+            (w_len,) = struct.unpack_from("<I", image, 12)
+            w_off = 32 if has_hip else 16
+            num_sv, sv = 0, None
         else:
-            sv_len, w_len = struct.unpack_from("<II", image, 16)
-            w_off = 24
-        sv = np.frombuffer(image, dtype="<u4", count=sv_len, offset=w_off + 4 * w_len)
-    cw = np.frombuffer(image, dtype="<u4", count=w_len, offset=w_off)
-    window = _uncompress_window(cw, k, determine_pseudo_phase(lg_k, c))
-    matrix = (
-        np.full(k, (1 << offset) - 1, dtype=np.uint64)
-        | (window.astype(np.uint64) << np.uint64(offset))
-    )
-    if num_sv:
-        enc_pairs = _uncompress_pairs(sv, num_sv, golomb_base_bits(k + num_sv, num_sv))
-        rows = (enc_pairs >> np.uint32(6)).astype(np.int64)
-        cols = (enc_pairs & np.uint32(63)).astype(np.int64)
-        if determine_flavor(lg_k, c) == "pinned":
-            cols = cols + 8
-        else:
-            perm_dec = _tables()["col_perm_decoding"][determine_pseudo_phase(lg_k, c)]
-            cols = (perm_dec[cols].astype(np.int64) + offset + 8) & 63
-        np.bitwise_xor.at(matrix, rows, np.uint64(1) << cols.astype(np.uint64))
-    return _c.serialize(lg_k, None, matrix, compat=True)
+            (num_sv,) = struct.unpack_from("<I", image, 12)
+            if has_hip:
+                sv_len, w_len = struct.unpack_from("<II", image, 32)
+                w_off = 40
+            else:
+                sv_len, w_len = struct.unpack_from("<II", image, 16)
+                w_off = 24
+            sv = np.frombuffer(image, dtype="<u4", count=sv_len, offset=w_off + 4 * w_len)
+        cw = np.frombuffer(image, dtype="<u4", count=w_len, offset=w_off)
+        window = _uncompress_window(cw, k, determine_pseudo_phase(lg_k, c))
+        matrix = (
+            np.full(k, (1 << offset) - 1, dtype=np.uint64)
+            | (window.astype(np.uint64) << np.uint64(offset))
+        )
+        if num_sv:
+            enc_pairs = _uncompress_pairs(sv, num_sv, golomb_base_bits(k + num_sv, num_sv))
+            rows = (enc_pairs >> np.uint32(6)).astype(np.int64)
+            cols = (enc_pairs & np.uint32(63)).astype(np.int64)
+            if determine_flavor(lg_k, c) == "pinned":
+                cols = cols + 8
+            else:
+                perm_dec = _tables()["col_perm_decoding"][determine_pseudo_phase(lg_k, c)]
+                cols = (perm_dec[cols].astype(np.int64) + offset + 8) & 63
+            np.bitwise_xor.at(matrix, rows, np.uint64(1) << cols.astype(np.uint64))
+        return _c.serialize(lg_k, None, matrix, compat=True)
+    except ValueError as e:
+        if "corrupt CPC stream" in str(e):
+            raise
+        raise ValueError(f"corrupt CPC stream: {e}") from None
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt CPC stream: {e}") from None
 
 
 # -- ecosystem-compatible build (murmur rowCol mapping) -------------------------

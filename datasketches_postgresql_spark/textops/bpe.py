@@ -222,14 +222,48 @@ def train_bpe(
 
 
 # per-executor word->count caches, keyed by vocab identity (merge count +
-# first/last merge) so two vocabs never share entries
+# first/last merge) so two vocabs never share entries. BOUNDED: web text's
+# distinct-word tail (hex ids, url fragments, typos) is effectively
+# unbounded, so an uncapped cache is a slow executor memory leak over a
+# 100 TB job — when an insert would push past the cap the cache is cleared
+# (Zipf means the hot head repopulates within a batch or two; an LRU would
+# buy little over wholesale reset at far more per-hit bookkeeping).
 _caches: dict[tuple, dict[str, int]] = {}
+BPE_CACHE_CAP = 2_000_000
+
+
+def _count_batch(
+    texts: pd.Series, vocab: BpeVocab, cache: dict[str, int], cap: int = BPE_CACHE_CAP
+) -> pd.Series:
+    """Count one Arrow batch: pretokenize every row, encode each DISTINCT
+    word in the batch exactly once (cache hits skip even that), then sum
+    per row from the batch-local table. The expensive merge loop runs
+    per distinct word per batch at most — never per occurrence."""
+    token_lists = [
+        PY_PRETOKEN_RE.findall(t) if isinstance(t, str) else [] for t in texts
+    ]
+    local: dict[str, int] = {}
+    for ws in token_lists:
+        for w in ws:
+            if w not in local:
+                n = cache.get(w)
+                local[w] = vocab.count_word(w) if n is None else n
+    # fold the batch table into the shared cache under the hard cap; the
+    # row sums below read `local`, so a reset here never misses
+    if len(local) <= cap:
+        if len(cache) + len(local) > cap:
+            cache.clear()
+        cache.update(local)
+    return pd.Series(
+        [sum(local[w] for w in ws) for ws in token_lists], index=texts.index
+    )
 
 
 def bpe_token_count_real(text: Column, vocab: BpeVocab) -> Column:
     """REAL post-merge BPE token count as a Spark column (Arrow-batched
-    pandas UDF; the merge table rides the closure, the per-executor word
-    cache amortizes the merge loop across a Zipf word distribution)."""
+    pandas UDF; the merge table rides the closure, the bounded
+    per-executor word cache amortizes the merge loop across a Zipf word
+    distribution and each batch's distinct words are encoded once)."""
     merges = vocab.merges
     # key the executor cache on the FULL merge table content (a partial
     # key could alias two vocabs and cross-contaminate cached counts)
@@ -239,6 +273,6 @@ def bpe_token_count_real(text: Column, vocab: BpeVocab) -> Column:
     def count(s: pd.Series) -> pd.Series:  # type: ignore[misc]
         v = BpeVocab(merges)
         cache = _caches.setdefault(key, {})
-        return s.map(lambda t: 0 if t is None else v.count_text(t, cache))
+        return _count_batch(s, v, cache)
 
     return count(text)

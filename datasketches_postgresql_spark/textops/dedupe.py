@@ -25,7 +25,7 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicates by full-text equality: one row per duplicated text,
     (rep_id = min id, n_dups). groupBy(text) partial-aggregates map-side;
     at scale, group by xxhash64(text) first to avoid shuffling full texts
-    (use ``by_hash=True``)."""
+    (use :func:`exact_dup_groups_by_hash`)."""
     return (
         df.groupBy(text_col)
         .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_dups"))

@@ -150,7 +150,10 @@ def train_quality_model(
         _feature_col(F.col(text_col), mode, n_buckets).alias("__f"),
         F.xxhash64(F.col(text_col)).alias("__ord"),
     )
-    sample = feats.orderBy("__ord").limit(max_sample).collect()
+    # total order: duplicate texts tie on __ord, so the label joins the
+    # sort key — any rows still tied are full duplicates (same features,
+    # same label), making the selected sample layout-invariant
+    sample = feats.orderBy("__ord", "__y").limit(max_sample).collect()
     if mode == "vocab":
         from collections import Counter
 

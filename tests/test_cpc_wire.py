@@ -59,6 +59,19 @@ class TestCpcCanonicalCodec:
         with pytest.raises(ValueError, match="family"):
             CI.deserialize_canonical(bytes([2, 1, 8, 11, 0, 2, 0xCC, 0x93]))
 
+    @pytest.mark.parametrize("n", [1500, 9000, 50000])
+    def test_truncated_stream_raises_controlled_error(self, n):
+        """Round-5 hardening (r4 advice): a truncated compressed section
+        must fail with the documented 'corrupt CPC stream' ValueError, not
+        a bare IndexError out of the table-driven decoder."""
+        sk = CI.build_murmur(np.arange(n, dtype=np.uint64), 11)
+        img = CI.serialize_canonical(sk)
+        # chop most of the compressed payload, keep the preamble intact
+        cut = max(24, len(img) // 4)
+        bad = img[:cut]
+        with pytest.raises(ValueError, match="corrupt CPC stream"):
+            CI.deserialize_canonical(bad)
+
     def test_compat_build_unions_with_internal(self, spark):
         """compat-built sketches stay unionable via the kernel's OR-merge
         (matrices are matrices regardless of the hash that filled them)."""

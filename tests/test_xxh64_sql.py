@@ -1,0 +1,70 @@
+"""Three-way XXH64 agreement: Spark's native xxhash64, the pure-Python
+mirror, and the generated DuckDB SQL must produce bit-identical hashes
+and split buckets (textops/xxh64_sql.py) — the key that lets the
+dataset-mixing/splitting gates be driver-hash-verified against an
+independent engine."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_postgresql_spark.textops import xxh64_sql as X
+
+
+IDS = [0, 1, 2, 3, 499, 12345, 10**12 + 7, 2**40 + 13, 2**52 + 1]
+
+
+class TestPythonMirror:
+    @pytest.mark.parametrize("seed", [0, 9, 42])
+    def test_matches_spark_long_int(self, spark, seed):
+        df = spark.createDataFrame([(i,) for i in IDS], "id long")
+        rows = df.select("id", F.xxhash64("id", F.lit(seed)).alias("h")).collect()
+        for r in rows:
+            assert r["h"] == X.xxhash64_long_int(r["id"], seed)
+
+    def test_matches_spark_single_long(self, spark):
+        df = spark.createDataFrame([(i,) for i in IDS], "id long")
+        rows = df.select("id", F.xxhash64("id").alias("h")).collect()
+        for r in rows:
+            assert r["h"] == X.xxhash64_long(r["id"])
+
+
+class TestSqlGeneration:
+    @pytest.mark.parametrize("seed", [0, 9, 1234567])
+    def test_duckdb_matches_python(self, seed):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT unnest(?) AS id", [IDS])
+        sql, name = X.xxhash64_long_int_sql("id", seed, "t")
+        rows = con.execute(f"SELECT id, {name} FROM ({sql}) ORDER BY id").fetchall()
+        assert len(rows) == len(IDS)
+        for i, h in rows:
+            assert h == X.xxhash64_long_int(i, seed), i
+
+    def test_bucket_matches_spark_split_bucket(self, spark):
+        """End to end: the SQL bucket equals Spark's split_bucket * 1e6
+        for a real id range — the exact expression the mixing gate uses."""
+        from datasketches_postgresql_spark.textops.split import split_bucket
+
+        ids = list(range(200))
+        df = spark.createDataFrame([(i,) for i in ids], "id long")
+        got = {
+            r["id"]: r["b"]
+            for r in df.select(
+                "id",
+                (split_bucket(F.col("id"), seed=9) * 1_000_000)
+                .cast("long")
+                .alias("b"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT unnest(?) AS id", [ids])
+        sql, name = X.split_bucket_sql("id", 9, "t")
+        for i, b in con.execute(f"SELECT id, {name} FROM ({sql})").fetchall():
+            assert b == got[i], i
+
+    def test_carry_columns_survive(self):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT unnest([1,2]) AS id, 'x' AS tag")
+        sql, name = X.split_bucket_sql("id", 0, "t")
+        rows = con.execute(f"SELECT id, tag, {name} FROM ({sql})").fetchall()
+        assert {r[1] for r in rows} == {"x"}

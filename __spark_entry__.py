@@ -349,8 +349,9 @@ def q_text_quality_model(spark, sf_dir):
     fastText/CCNet-style learned tier above the heuristic signals). The
     gate replays the fixture model's exact scoring plan: spam docs are
     constructed deterministically (doc_id%2=1 gets one of four spam
-    tails by doc_id%4 — the identical rule the committed fixture was
-    TRAINED on by tools/train_quality_fixture.py; the spam lexicon was
+    tails by doc_id%8 — odd ids hit 1/3/5/7, one per tail; the identical
+    rule the committed fixture was TRAINED on by
+    tools/train_quality_fixture.py; the spam lexicon was
     learned from data, not hand-weighted), scoring is explode tokens ->
     broadcast integer-weight join -> exact BIGINT mean logit, and the
     oracle re-computes the logit word-for-word from the same weight
@@ -1416,10 +1417,10 @@ def oracle_sql() -> dict[str, str]:
         WITH d AS (
           SELECT doc_id,
                  CASE WHEN doc_id % 2 = 1 THEN text ||
-                   CASE CAST(doc_id % 4 AS INT)
-                     WHEN 1 THEN ' subscribe now for exclusive deals and free bonus offers'
-                     WHEN 2 THEN ' buy cheap pills online limited offer act now'
-                     WHEN 3 THEN ' congratulations you are the lucky winner claim your reward'
+                   CASE CAST(doc_id % 8 AS INT)
+                     WHEN 3 THEN ' subscribe now for exclusive deals and free bonus offers'
+                     WHEN 5 THEN ' buy cheap pills online limited offer act now'
+                     WHEN 7 THEN ' congratulations you are the lucky winner claim your reward'
                      ELSE ' click here to win a free prize now' END
                  ELSE text END AS t2
           FROM documents),

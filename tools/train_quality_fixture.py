@@ -6,7 +6,9 @@ sf0.01 documents table by the same rule the `text_quality_model` gate
 (and its DuckDB oracle) replays —
 
     spam docs (label 1): doc_id % 2 = 1, text || one of four spam tails
-                         chosen by doc_id % 4
+                         chosen by doc_id % 8 (odd ids hit 1/3/5/7, one
+                         per tail — keying on doc_id % 4 would leave two
+                         tails unreachable for odd ids)
     clean docs (label 0): doc_id % 2 = 0, text unchanged
 
 so the classifier must LEARN the spam lexicon from data; nothing is
@@ -43,10 +45,12 @@ def spam_text_col():
     from pyspark.sql import functions as F
 
     did = F.col("doc_id")
+    # spam docs are the ODD ids, so the tail key must separate odd ids:
+    # doc_id % 8 in {1,3,5,7} maps one-to-one onto the four tails
     tail = (
-        F.when(did % 4 == 1, F.lit(SPAM_TAILS[1]))
-        .when(did % 4 == 2, F.lit(SPAM_TAILS[2]))
-        .when(did % 4 == 3, F.lit(SPAM_TAILS[3]))
+        F.when(did % 8 == 3, F.lit(SPAM_TAILS[1]))
+        .when(did % 8 == 5, F.lit(SPAM_TAILS[2]))
+        .when(did % 8 == 7, F.lit(SPAM_TAILS[3]))
         .otherwise(F.lit(SPAM_TAILS[0]))
     )
     return F.when(did % 2 == 1, F.concat(F.col("text"), tail)).otherwise(

@@ -154,7 +154,11 @@ def streaming_lsh_candidates(
     ``state_timeout_minutes`` of bucket inactivity (ProcessingTimeTimeout),
     so total state is O(active buckets x max_bucket) regardless of stream
     length — the same bounded-state discipline as the watermarked exact
-    dedup above.
+    dedup above. ``state_timeout_minutes=0`` disables the timeout
+    (GroupStateTimeout.NoTimeout): state lives for the query's lifetime,
+    and — the property finite replays need — a Trigger.AvailableNow run
+    TERMINATES once the backlog is drained, instead of idling on empty
+    timer-service micro-batches until every processing-time timer fires.
 
     Input: (doc_id long, url string, text string, ``ts_col`` timestamp).
     Output (append mode): (band_hash, a, b, exact_sig_match) with a < b;
@@ -259,7 +263,8 @@ def streaming_lsh_candidates(
                 if len(ids) > max_bucket:  # ring: keep the freshest members
                     ids, sigs = ids[-max_bucket:], sigs[-max_bucket:]
         state.update((ids, sigs))
-        state.setTimeoutDuration(state_timeout_minutes * 60 * 1000)
+        if state_timeout_minutes > 0:
+            state.setTimeoutDuration(state_timeout_minutes * 60 * 1000)
         if out_a:
             yield pd.DataFrame(
                 {
@@ -275,7 +280,11 @@ def streaming_lsh_candidates(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_timeout_minutes > 0
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

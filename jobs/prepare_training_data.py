@@ -69,12 +69,7 @@ def main() -> None:
     ap.add_argument("--quality-threshold", type=float, default=0.5)
     args = ap.parse_args()
 
-    from datasketches_postgresql_spark.dedup.pipeline import DedupConfig, DedupPipeline
     from datasketches_postgresql_spark.session import get_spark
-    from datasketches_postgresql_spark.textops.analysis import bpe_token_count, gopher_filter
-    from datasketches_postgresql_spark.textops.packing import pack_documents, packing_stats
-    from datasketches_postgresql_spark.textops.pii import redact_pii
-    from datasketches_postgresql_spark.textops.split import hash_split
 
     spark = get_spark("prepare-training-data", master=args.master)
     if args.generate:
@@ -84,19 +79,63 @@ def main() -> None:
     else:
         pages = spark.read.parquet(args.input)
 
+    summary = run(
+        spark,
+        pages,
+        checkpoint=args.checkpoint,
+        output=args.output,
+        resume=args.resume,
+        benchmark=spark.read.parquet(args.benchmark) if args.benchmark else None,
+        budget=args.budget,
+        val_frac=args.val_frac,
+        representative=args.representative,
+        domain_cap=args.domain_cap,
+        bpe_vocab=args.bpe_vocab,
+        quality_model=args.quality_model,
+        quality_threshold=args.quality_threshold,
+    )
+    print(json.dumps(summary))
+
+
+def run(
+    spark,
+    pages,
+    *,
+    checkpoint: str,
+    output: str,
+    resume: bool = False,
+    benchmark=None,
+    budget: int = 2048,
+    val_frac: float = 0.01,
+    representative: str = "quality",
+    domain_cap: int = 0,
+    bpe_vocab: str | None = None,
+    quality_model: str | None = None,
+    quality_threshold: float = 0.5,
+) -> dict:
+    """The whole prep chain as a library call (main() is the CLI shell):
+    pages (url, warc_ts, html, text, lang) in, packed shards at ``output``
+    out, returns the one-line lineage summary dict. ``benchmark`` is an
+    optional (bench_id, text) DataFrame to decontaminate against."""
+    from datasketches_postgresql_spark.dedup.pipeline import DedupConfig, DedupPipeline
+    from datasketches_postgresql_spark.textops.analysis import bpe_token_count, gopher_filter
+    from datasketches_postgresql_spark.textops.packing import pack_documents, packing_stats
+    from datasketches_postgresql_spark.textops.pii import redact_pii
+    from datasketches_postgresql_spark.textops.split import hash_split
+
     counts: dict[str, int] = {}
 
     # 0. per-domain quota (optional, before any text stage runs)
-    if args.domain_cap > 0:
+    if domain_cap > 0:
         from datasketches_postgresql_spark.textops.urlops import cap_per_domain
 
-        pages = cap_per_domain(pages, "url", max_docs=args.domain_cap, mode="hash")
+        pages = cap_per_domain(pages, "url", max_docs=domain_cap, mode="hash")
 
     # 1. dedup -> representatives only, with their extracted text
     pipe = DedupPipeline(
-        spark, args.checkpoint, DedupConfig(representative_policy=args.representative)
+        spark, checkpoint, DedupConfig(representative_policy=representative)
     )
-    out = pipe.run(pages, resume=args.resume)
+    out = pipe.run(pages, resume=resume)
     reps = out["resolved"].where("is_representative").select("doc_id", "cluster_id")
     text = out["extracted"].select("doc_id", "url", "lang", "text")
     docs = text.join(reps, "doc_id")
@@ -114,48 +153,47 @@ def main() -> None:
     # 3b. learned quality tier (optional): the trained classifier scores
     # every survivor (broadcast weight join, exact integer logit) and the
     # threshold drops the low-quality tail
-    if args.quality_model:
+    if quality_model:
         from datasketches_postgresql_spark.textops.quality_model import (
             QualityModel,
             quality_score,
         )
 
-        qm = QualityModel.load(args.quality_model)
+        qm = QualityModel.load(quality_model)
         docs = (
             quality_score(docs, "text", qm, "doc_id")
-            .where(F.col("quality_p") >= args.quality_threshold)
+            .where(F.col("quality_p") >= quality_threshold)
             .drop("quality_p")
             .persist()
         )
         counts["after_quality_model"] = docs.count()
 
     # 4. benchmark decontamination (optional)
-    if args.benchmark:
+    if benchmark is not None:
         from datasketches_postgresql_spark.textops.decontaminate import decontaminate
 
-        bench = spark.read.parquet(args.benchmark)
-        hits = decontaminate(docs, bench, doc_id="doc_id", doc_text="text")
+        hits = decontaminate(docs, benchmark, doc_id="doc_id", doc_text="text")
         docs = docs.join(hits.select("doc_id"), "doc_id", "left_anti")
         counts["after_decontaminate"] = docs.count()
 
     # 5. token counts + packing (lengths shuffle; text joins back by id)
-    if args.benchmark:
+    if benchmark is not None:
         docs = docs.persist()  # the anti-join re-plans the persisted base
-    if args.bpe_vocab:
+    if bpe_vocab:
         from datasketches_postgresql_spark.textops.bpe import (
             BpeVocab,
             bpe_token_count_real,
         )
 
-        vocab = BpeVocab.load(args.bpe_vocab)
+        vocab = BpeVocab.load(bpe_vocab)
         docs = docs.withColumn("n_tokens", bpe_token_count_real(F.col("text"), vocab))
     else:
         docs = docs.withColumn("n_tokens", bpe_token_count(F.col("text")))
     # persist: the stats collect below and the shard-write join both read
     # the assignment — without this the pack shuffle + Fenwick pass and the
     # token-count UDF run twice
-    assignment = pack_documents(docs, "doc_id", "n_tokens", args.budget).persist()
-    stats = packing_stats(assignment, args.budget).collect()[0]
+    assignment = pack_documents(docs, "doc_id", "n_tokens", budget).persist()
+    stats = packing_stats(assignment, budget).collect()[0]
     packed = docs.join(
         assignment.select(
             F.col("id").alias("doc_id"), "bin_id", "bin_fill", "oversize"
@@ -165,9 +203,9 @@ def main() -> None:
 
     # 6. deterministic split — keyed on bin_id so a bin never straddles
     # train/val (packed sequences are the training unit, not documents)
-    if args.val_frac > 0:
+    if val_frac > 0:
         packed = hash_split(
-            packed, {"train": 1.0 - args.val_frac, "val": args.val_frac},
+            packed, {"train": 1.0 - val_frac, "val": val_frac},
             id_col="bin_id",
         )
     else:  # --val-frac 0: everything is train, no degenerate zero weight
@@ -177,9 +215,9 @@ def main() -> None:
     (packed
      .repartition("split", F.pmod(F.col("bin_id"), F.lit(16)))
      .sortWithinPartitions("bin_id")
-     .write.mode("overwrite").partitionBy("split").parquet(args.output))
+     .write.mode("overwrite").partitionBy("split").parquet(output))
 
-    written = spark.read.parquet(args.output)
+    written = spark.read.parquet(output)
     counts["train_docs"] = written.where("split = 'train'").count()
     counts["val_docs"] = written.where("split = 'val'").count()
     summary = {
@@ -188,10 +226,10 @@ def main() -> None:
         "n_bins": int(stats["n_bins"] or 0),
         "n_oversize": int(stats["n_oversize"] or 0),
         "utilization": float(stats["utilization"] or 0.0),
-        "budget": args.budget,
-        "output": args.output,
+        "budget": budget,
+        "output": output,
     }
-    print(json.dumps(summary))
+    return summary
 
 
 if __name__ == "__main__":

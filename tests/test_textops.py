@@ -312,7 +312,13 @@ class TestStreamingLshCandidates:
         stream = spark.readStream.schema(
             "doc_id long, url string, text string, ts timestamp"
         ).parquet(src)
-        cands = streaming_lsh_candidates(stream, bands=4, rows=32, max_bucket=3)
+        # state_timeout_minutes=0: no processing-time timers, so the
+        # AvailableNow run terminates as soon as the backlog drains instead
+        # of idling 120 s on empty timer-service micro-batches (the timeout
+        # path itself is covered by test_stateful_near_dup_candidates)
+        cands = streaming_lsh_candidates(
+            stream, bands=4, rows=32, max_bucket=3, state_timeout_minutes=0
+        )
         q = (
             cands.writeStream.format("memory")
             .queryName("lsh_ring_test")

@@ -377,7 +377,17 @@ def q_text_quality_model(spark, sf_dir):
     table inlined as VALUES — so the learned model's corpus-wide
     scores are driver-hash-verified against an independent engine,
     including the classifier's decisions (is_spam_pred) and their
-    agreement with the construction labels."""
+    agreement with the construction labels.
+
+    Round 5 adds the HASHED-mode fixture (quality_model_fixture_hashed
+    .json, xxhash64 buckets — the unbounded-vocabulary scale path, which
+    was the one pytest-only tier left): ``z_micro_hashed`` /
+    ``is_spam_pred_hashed`` score the same corpus through the hashed
+    weight table, and the oracle REPLAYS THE BUCKETING ITSELF —
+    Spark-compatible XXH64 over each token's bytes rendered as DuckDB
+    HUGEINT arithmetic (textops/xxh64_sql.py:xxhash64_short_ascii_sql) —
+    so the hashed path is verified end to end against an independent
+    engine, hash function included."""
     from datasketches_postgresql_spark.textops.quality_model import (
         QualityModel,
         quality_z_micro,
@@ -395,16 +405,26 @@ def q_text_quality_model(spark, sf_dir):
     _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "tools"))
     from train_quality_fixture import spam_text_col
 
+    model_h = QualityModel.load(fixture.replace("fixture.json", "fixture_hashed.json"))
     d = _docs(spark, sf_dir).select(
         "doc_id", spam_text_col().alias("text"), (F.col("doc_id") % 2).alias("y")
     )
     z = quality_z_micro(d, "text", model, "doc_id")
-    return z.select(
-        "doc_id",
-        F.col("z_micro"),
-        (F.col("z_micro") > 0).cast("int").alias("is_spam_pred"),
-        ((F.col("z_micro") > 0).cast("int") == F.col("y")).cast("int").alias("correct"),
-    ).orderBy("doc_id")
+    zh = quality_z_micro(d, "text", model_h, "doc_id", out_col="z_micro_hashed").select(
+        "doc_id", "z_micro_hashed"
+    )
+    return (
+        z.join(zh, "doc_id")
+        .select(
+            "doc_id",
+            F.col("z_micro"),
+            (F.col("z_micro") > 0).cast("int").alias("is_spam_pred"),
+            ((F.col("z_micro") > 0).cast("int") == F.col("y")).cast("int").alias("correct"),
+            F.col("z_micro_hashed"),
+            (F.col("z_micro_hashed") > 0).cast("int").alias("is_spam_pred_hashed"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def q_text_mixing(spark, sf_dir):
@@ -1658,8 +1678,25 @@ def oracle_sql() -> dict[str, str]:
         ).read()
     )
     _wvals = ", ".join(f"('{k}', {w})" for k, w in _fx["weights"])
-    quality_model_sql = f"""
-        WITH d AS (
+    # hashed-mode sibling: the oracle replays the BUCKETING too — XXH64
+    # over each token's ASCII bytes as a DuckDB HUGEINT CTE chain
+    # (textops/xxh64_sql.py; same generator the text_mixing gate uses for
+    # BIGINT keys, extended to short strings), then pmod into the weight
+    # table. Every stage of the hashed scale path — tokenization, hash,
+    # bucket, integer logit — is re-derived by the independent engine.
+    _fxh = _json.loads(
+        open(
+            _os.path.join(
+                _os.path.dirname(_os.path.abspath(__file__)),
+                "datasketches_postgresql_spark", "textops",
+                "quality_model_fixture_hashed.json",
+            ),
+            encoding="utf-8",
+        ).read()
+    )
+    _hvals = ", ".join(f"({int(k)}, {w})" for k, w in _fxh["weights"])
+    _nb = int(_fxh["n_buckets"])
+    _qm_d = """
           SELECT doc_id,
                  CASE WHEN doc_id % 2 = 1 THEN text ||
                    CASE CAST(doc_id % 8 AS INT)
@@ -1668,19 +1705,42 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 7 THEN ' congratulations you are the lucky winner claim your reward'
                      ELSE ' click here to win a free prize now' END
                  ELSE text END AS t2
-          FROM documents),
+          FROM documents"""
+    from datasketches_postgresql_spark.textops.xxh64_sql import (
+        xxhash64_short_ascii_sql,
+    )
+
+    _qh_sql, _qh_sig = xxhash64_short_ascii_sql(
+        "tok",
+        f"""(WITH dq AS ({_qm_d})
+             SELECT doc_id, unnest(regexp_extract_all(lower(t2), '[a-z]+')) AS tok
+             FROM dq)""",
+        prefix="qh",
+    )
+    quality_model_sql = f"""
+        WITH d AS ({_qm_d}),
         wts(word, w) AS (VALUES {_wvals}),
+        hwts(b, hw) AS (VALUES {_hvals}),
         toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(t2), '[a-z]+')) AS tok FROM d),
         nt AS (SELECT doc_id, len(regexp_extract_all(lower(t2), '[a-z]+')) AS n FROM d),
         zs AS (SELECT toks.doc_id, sum(w) AS s FROM toks JOIN wts ON tok = word GROUP BY toks.doc_id),
+        hb AS (SELECT doc_id,
+                      CAST(((({_qh_sig}) % {_nb}) + {_nb}) % {_nb} AS BIGINT) AS b
+               FROM ({_qh_sql})),
+        hzs AS (SELECT hb.doc_id, sum(hw) AS s FROM hb JOIN hwts USING (b) GROUP BY hb.doc_id),
         z AS (SELECT d.doc_id,
                      CAST(floor(coalesce(zs.s, 0) * 1.0 / greatest(nt.n, 1))
-                          + {_fx["bias_micro"]} AS BIGINT) AS z_micro
+                          + {_fx["bias_micro"]} AS BIGINT) AS z_micro,
+                     CAST(floor(coalesce(hzs.s, 0) * 1.0 / greatest(nt.n, 1))
+                          + {_fxh["bias_micro"]} AS BIGINT) AS z_micro_hashed
               FROM d LEFT JOIN zs ON d.doc_id = zs.doc_id
+                     LEFT JOIN hzs ON d.doc_id = hzs.doc_id
                      JOIN nt ON d.doc_id = nt.doc_id)
         SELECT doc_id, z_micro,
                CAST(z_micro > 0 AS INT) AS is_spam_pred,
-               CAST(CAST(z_micro > 0 AS INT) = (doc_id % 2) AS INT) AS correct
+               CAST(CAST(z_micro > 0 AS INT) = (doc_id % 2) AS INT) AS correct,
+               z_micro_hashed,
+               CAST(z_micro_hashed > 0 AS INT) AS is_spam_pred_hashed
         FROM z ORDER BY doc_id
     """
     # the mixing oracle replays Spark's xxhash64 bit-for-bit in DuckDB

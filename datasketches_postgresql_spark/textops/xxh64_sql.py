@@ -92,6 +92,57 @@ def xxhash64_long(long_value: int, seed: int = 42) -> int:
     return h - _TWO64 if h >= (1 << 63) else h
 
 
+def hash_bytes(data: bytes, seed: int) -> int:
+    """XXH64 over a byte string — Spark's XXH64.hashUnsafeBytes (what
+    ``xxhash64(string_col)`` applies to the UTF-8 bytes). Full spec,
+    including the 32-byte four-lane stripes (unsigned result)."""
+    length = len(data)
+    i = 0
+    if length >= 32:
+        v1 = (seed + _P1 + _P2) & _M
+        v2 = (seed + _P2) & _M
+        v3 = seed & _M
+        v4 = (seed - _P1) & _M
+        while length - i >= 32:
+            w1, w2, w3, w4 = (
+                int.from_bytes(data[i + 8 * j : i + 8 * j + 8], "little")
+                for j in range(4)
+            )
+            v1 = (_rotl((v1 + w1 * _P2) & _M, 31) * _P1) & _M
+            v2 = (_rotl((v2 + w2 * _P2) & _M, 31) * _P1) & _M
+            v3 = (_rotl((v3 + w3 * _P2) & _M, 31) * _P1) & _M
+            v4 = (_rotl((v4 + w4 * _P2) & _M, 31) * _P1) & _M
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P2) & _M, 31) * _P1) & _M
+            h = ((h * _P1) + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + length) & _M
+    while length - i >= 8:
+        w = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl((w * _P2) & _M, 31) * _P1) & _M
+        h = (_rotl(h, 27) * _P1 + _P4) & _M
+        i += 8
+    if length - i >= 4:
+        w = int.from_bytes(data[i : i + 4], "little")
+        h ^= (w * _P1) & _M
+        h = (_rotl(h, 23) * _P2 + _P3) & _M
+        i += 4
+    while i < length:
+        h ^= (data[i] * _P5) & _M
+        h = (_rotl(h, 11) * _P1) & _M
+        i += 1
+    return _fmix(h)
+
+
+def xxhash64_string(s: str, seed: int = 42) -> int:
+    """Spark ``xxhash64(string_col)`` (signed result)."""
+    h = hash_bytes(s.encode("utf-8"), seed)
+    return h - _TWO64 if h >= (1 << 63) else h
+
+
 # -- SQL generation ----------------------------------------------------------
 
 
@@ -177,6 +228,98 @@ def xxhash64_long_int_sql(
     b = step(_sql_xor64(b, f"({b}) // {1 << 32}"))
     signed = step(
         f"CASE WHEN ({b}) >= {1 << 63} THEN ({b}) - {_TWO64} ELSE ({b}) END"
+    )
+    sql = "WITH " + ", ".join(ctes) + f" SELECT * FROM {src}"
+    return sql, signed
+
+
+def xxhash64_short_ascii_sql(
+    tok_expr: str,
+    from_sql: str,
+    prefix: str = "xs",
+    seed: int = 42,
+) -> tuple[str, str]:
+    """Materialized-CTE-chain SQL computing Spark's ``xxhash64(tok)`` for
+    an ASCII string column of at most 31 bytes — the token regime of the
+    quality classifier's hashed mode ([a-z]+ runs; the engine's gate
+    corpora top out at ~12). Returns ``(sql, signed_alias)`` like
+    :func:`xxhash64_long_int_sql`.
+
+    Under 32 bytes XXH64 never enters the four-lane stripe loop, so the
+    whole hash is: h = seed + P5 + len, then up to three guarded 8-byte
+    word rounds, one guarded 4-byte round, up to three guarded single-
+    byte rounds, then the final avalanche — each round a CASE-guarded
+    materialized step. Little-endian words assemble from ``ascii(substr)``
+    (ASCII only: chars == bytes; DuckDB's ascii() past the end is 0, so
+    unguarded word assembly is safe — the guard on the h-update decides).
+    """
+    names = iter(f"{prefix}{i}" for i in range(64))
+    ctes: list[str] = []
+    src = from_sql
+
+    def step(expr: str) -> str:
+        nonlocal src
+        n = next(names)
+        ctes.append(f"{n}_t AS MATERIALIZED (SELECT *, {expr} AS {n} FROM {src})")
+        src = f"{n}_t"
+        return n
+
+    tok = step(f"CAST({tok_expr} AS VARCHAR)")
+    ln = step(f"CAST(strlen({tok}) AS HUGEINT)")
+    # tail geometry: rem bytes after the full words; r single bytes after
+    # the optional 4-byte round; the byte rounds start at position st+1
+    rem = step(f"({ln}) % 8")
+    r = step(f"CASE WHEN ({rem}) >= 4 THEN ({rem}) - 4 ELSE ({rem}) END")
+    st = step(f"({ln}) - ({r})")
+
+    def byte(pos_expr: str) -> str:
+        return f"CAST(ascii(substr({tok}, CAST({pos_expr} AS INT), 1)) AS HUGEINT)"
+
+    h = step(f"({(seed + _P5) & _M} + ({ln})) % {_TWO64}")
+    for j in range(3):  # full 8-byte words at offsets 0, 8, 16
+        w = step(
+            "(" + " + ".join(f"{byte(str(8 * j + b + 1))} * {1 << (8 * b)}" for b in range(8)) + ")"
+        )
+        k1 = step(_sql_mul64_const(w, _P2))
+        k1 = step(_sql_rotl(k1, 31))
+        k1 = step(_sql_mul64_const(k1, _P1))
+        guard = f"({ln}) >= {8 * (j + 1)}"
+        h2 = step(f"CASE WHEN {guard} THEN {_sql_xor64(h, k1)} ELSE ({h}) END")
+        h = step(
+            f"CASE WHEN {guard} THEN "
+            f"({_sql_mul64_const(_sql_rotl(h2, 27), _P1)} + {_P4}) % {_TWO64} "
+            f"ELSE ({h2}) END"
+        )
+    # guarded 4-byte round at offset len - rem (position (len//8)*8 + 1)
+    w4 = step(
+        "(" + " + ".join(
+            f"{byte(f'({ln}) - ({rem}) + {b + 1}')} * {1 << (8 * b)}" for b in range(4)
+        ) + ")"
+    )
+    k4 = step(_sql_mul64_const(w4, _P1))
+    g4 = f"({rem}) >= 4"
+    h2 = step(f"CASE WHEN {g4} THEN {_sql_xor64(h, k4)} ELSE ({h}) END")
+    h = step(
+        f"CASE WHEN {g4} THEN "
+        f"({_sql_mul64_const(_sql_rotl(h2, 23), _P2)} + {_P3}) % {_TWO64} "
+        f"ELSE ({h2}) END"
+    )
+    for k in range(3):  # trailing single bytes
+        bb = step(f"({byte(f'({st}) + {k + 1}')} * {_P5}) % {_TWO64}")
+        gk = f"({r}) > {k}"
+        h2 = step(f"CASE WHEN {gk} THEN {_sql_xor64(h, bb)} ELSE ({h}) END")
+        h = step(
+            f"CASE WHEN {gk} THEN {_sql_mul64_const(_sql_rotl(h2, 11), _P1)} "
+            f"ELSE ({h2}) END"
+        )
+    # final avalanche
+    h = step(_sql_xor64(h, f"({h}) // {1 << 33}"))
+    h = step(_sql_mul64_const(h, _P2))
+    h = step(_sql_xor64(h, f"({h}) // {1 << 29}"))
+    h = step(_sql_mul64_const(h, _P3))
+    h = step(_sql_xor64(h, f"({h}) // {1 << 32}"))
+    signed = step(
+        f"CASE WHEN ({h}) >= {1 << 63} THEN ({h}) - {_TWO64} ELSE ({h}) END"
     )
     sql = "WITH " + ", ".join(ctes) + f" SELECT * FROM {src}"
     return sql, signed

@@ -68,3 +68,56 @@ class TestSqlGeneration:
         sql, name = X.split_bucket_sql("id", 0, "t")
         rows = con.execute(f"SELECT id, tag, {name} FROM ({sql})").fetchall()
         assert {r[1] for r in rows} == {"x"}
+
+
+class TestStringHash:
+    """Round 5: string-key support — the hashed quality-model oracle
+    replays Spark's xxhash64(token) bucketing in DuckDB."""
+
+    def _tokens(self):
+        import random
+        import string
+
+        rng = random.Random(7)
+        return [
+            "".join(rng.choice(string.ascii_lowercase) for _ in range(n))
+            for n in range(0, 32)
+            for _ in range(4)
+        ]
+
+    def test_python_mirror_matches_spark(self, spark):
+        """Every length class: empty, sub-4, sub-8, 8-byte words + tails,
+        the >=32 four-lane stripe path, and multibyte UTF-8."""
+        toks = self._tokens() + ["x" * 100, "übermäßig", "日本語"]
+        df = spark.createDataFrame([(t,) for t in toks], "t string")
+        rows = df.select("t", F.xxhash64("t").alias("h")).collect()
+        for r in rows:
+            assert r["h"] == X.xxhash64_string(r["t"]), repr(r["t"])
+
+    def test_duckdb_short_ascii_matches_python(self):
+        toks = self._tokens()
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT unnest(?) AS tok", [toks])
+        sql, name = X.xxhash64_short_ascii_sql("tok", "t")
+        rows = con.execute(f"SELECT tok, {name} FROM ({sql})").fetchall()
+        assert len(rows) == len(toks)
+        for t, h in rows:
+            assert h == X.xxhash64_string(t), repr(t)
+
+    def test_bucket_chain_matches_spark_feature_col(self, spark):
+        """The exact expression pair the hashed quality gate verifies:
+        Spark pmod(xxhash64(tok), n_buckets) vs the DuckDB chain."""
+        toks = [t for t in self._tokens() if t]
+        nb = 1024
+        df = spark.createDataFrame([(t,) for t in toks], "tok string")
+        got = {
+            r["tok"]: r["b"]
+            for r in df.select(
+                "tok", F.pmod(F.xxhash64("tok"), F.lit(nb)).alias("b")
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT unnest(?) AS tok", [toks])
+        sql, name = X.xxhash64_short_ascii_sql("tok", "t")
+        for t, h in con.execute(f"SELECT tok, {name} FROM ({sql})").fetchall():
+            assert ((h % nb) + nb) % nb == got[t], repr(t)

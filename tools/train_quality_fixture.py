@@ -32,6 +32,12 @@ OUT = os.path.join(
     "textops",
     "quality_model_fixture.json",
 )
+# hashed-mode sibling (the unbounded-vocabulary scale path): same corpus
+# rule, xxhash64 buckets instead of words. n_buckets is kept small (1024)
+# so the committed weight table stays readable; the gate's DuckDB oracle
+# replays the bucketing itself via textops/xxh64_sql.py's string chain.
+OUT_HASHED = OUT.replace("fixture.json", "fixture_hashed.json")
+HASHED_BUCKETS = 1024
 
 SPAM_TAILS = [
     " click here to win a free prize now",
@@ -85,6 +91,20 @@ def main() -> None:
     print(
         '{"weights": %d, "bias_micro": %d, "train_accuracy": %.4f, "out": "%s"}'
         % (len(model.weights), model.bias_micro, acc, OUT)
+    )
+
+    model_h = train_quality_model(
+        docs, "text", "y", mode="hashed", n_buckets=HASHED_BUCKETS,
+        max_sample=5000, iters=400, lr=2.0,
+    )
+    scored_h = quality_score(docs, "text", model_h, "doc_id")
+    acc_h = scored_h.select(
+        (((F.col("quality_p") > 0.5).cast("int")) == F.col("y")).cast("int").alias("ok")
+    ).agg(F.avg("ok")).collect()[0][0]
+    model_h.save(OUT_HASHED)
+    print(
+        '{"weights": %d, "bias_micro": %d, "train_accuracy": %.4f, "out": "%s"}'
+        % (len(model_h.weights), model_h.bias_micro, acc_h, OUT_HASHED)
     )
 
 

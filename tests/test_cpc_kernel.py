@@ -64,3 +64,24 @@ class TestCpcKernel:
 
     def test_empty(self):
         assert C.get_estimate(C.build(np.empty(0, dtype=np.uint64), 11)) == 0.0
+
+    def test_coupon_extraction_matches_scalar_reference(self):
+        """The vectorized coupon map (float64-exponent ctz + scatter dedup)
+        must agree bit-for-bit with a direct scalar transcription of the
+        coupon definition (row = low lg_k hash bits, col = index of the
+        lowest set bit of the remaining bits, all-zero rest -> max col),
+        including the edge hashes 0, 1, 2^63, 2^64-1."""
+        for lg_k in (4, 11, 21):
+            vals = np.concatenate(
+                [_rand(100_000, 21), np.array([0, 1, 2**63, 2**64 - 1], dtype=np.uint64)]
+            )
+            got = C._coupons_from_hashes(vals, lg_k)
+            want = set()
+            max_col = min(C._MAX_COL, 63)
+            for h in vals.tolist():
+                row = h & ((1 << lg_k) - 1)
+                rest = h >> lg_k
+                col = C._MAX_COL if rest == 0 else (rest & -rest).bit_length() - 1
+                want.add((row << 6) | min(col, max_col))
+            assert got.dtype == np.uint32
+            assert np.array_equal(got, np.array(sorted(want), dtype=np.uint32))

@@ -473,6 +473,33 @@ def _streaming_lsh_equiv(spark, sf_dir):
         across micro-batches, not a degenerate single batch."""
     import os
     import tempfile
+
+    d = _docs_with_copies(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("u"), F.col("doc_id")).alias("url"),
+        "text",
+        F.timestamp_seconds(F.col("doc_id")).alias("ts"),
+    )
+    base = tempfile.mkdtemp(prefix="stream_lsh_")
+    table = "lsh_equiv_" + os.path.basename(base).rsplit("_", 1)[-1]
+    try:
+        return _streaming_lsh_equiv_run(spark, d, base, table)
+    finally:
+        # same hygiene as q_prep_pipeline: drop the working dir, the
+        # memory-sink view, and any persisted comparator left by an
+        # exception between persist() and unpersist()
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(table)
+        except Exception:
+            pass
+
+
+def _streaming_lsh_equiv_run(spark, d, base, table):
+    """Body of :func:`_streaming_lsh_equiv` (cleanup lives in the caller)."""
+    import os
     from collections.abc import Iterator
 
     import numpy as np
@@ -487,13 +514,6 @@ def _streaming_lsh_equiv(spark, sf_dir):
         streaming_lsh_candidates,
     )
 
-    d = _docs_with_copies(spark, sf_dir).select(
-        "doc_id",
-        F.concat(F.lit("u"), F.col("doc_id")).alias("url"),
-        "text",
-        F.timestamp_seconds(F.col("doc_id")).alias("ts"),
-    )
-    base = tempfile.mkdtemp(prefix="stream_lsh_")
     src = os.path.join(base, "src")
     # originals first, copies second: with maxFilesPerTrigger=1 the copies
     # can only pair with their originals via state held from micro-batch 0
@@ -517,7 +537,6 @@ def _streaming_lsh_equiv(spark, sf_dir):
     # pipeline FileFormatWriter into the stateful python exec, which is the
     # unstable combination in this Spark build — the memory sink runs the
     # identical stateful plan and collects the append output
-    table = "lsh_equiv_" + os.path.basename(base).rsplit("_", 1)[-1]
     q = (
         cands.writeStream.format("memory")
         .queryName(table)
@@ -558,14 +577,16 @@ def _streaming_lsh_equiv(spark, sf_dir):
         .distinct()
         .persist()
     )
-    n_batch = batch_pairs.count()
-    n_planted = batch_pairs.where(
-        F.col("b") == F.col("a") + _COPY_OFFSET
-    ).count()
-    n_docs_total = d.count()
-    only_stream = stream_pairs.subtract(batch_pairs).count()
-    only_batch = batch_pairs.subtract(stream_pairs).count()
-    batch_pairs.unpersist()
+    try:
+        n_batch = batch_pairs.count()
+        n_planted = batch_pairs.where(
+            F.col("b") == F.col("a") + _COPY_OFFSET
+        ).count()
+        n_docs_total = d.count()
+        only_stream = stream_pairs.subtract(batch_pairs).count()
+        only_batch = batch_pairs.subtract(stream_pairs).count()
+    finally:
+        batch_pairs.unpersist()
     lsh_equiv_ok = (
         only_stream == 0
         and only_batch == 0

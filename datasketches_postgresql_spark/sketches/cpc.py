@@ -82,11 +82,15 @@ def _coupons_from_hashes(values: np.ndarray, lg_k: int) -> np.ndarray:
             - np.uint64(1023)).astype(np.uint32)
     cols = np.minimum(cols, np.uint32(min(_MAX_COL, 64 - lg_k - 1 + lg_k)))
     raw = (rows.astype(np.uint32) << np.uint32(6)) | cols.astype(np.uint32)
-    # dedup by O(n) scatter into the 2^(lg_k+6)-slot coupon space instead
-    # of np.unique's O(n log n) sort (k is small: <= 2 MiB of flags)
-    seen = np.zeros(1 << (lg_k + 6), dtype=bool)
-    seen[raw] = True
-    return np.nonzero(seen)[0].astype(np.uint32)
+    # dedup by O(k+n) scatter into the 2^(lg_k+6)-slot coupon space when
+    # the flag array stays small (<= 2 MiB through lg_k 15); at larger
+    # lg_k the per-batch alloc + full scan would dwarf the batch (4 GiB
+    # at the format max lg_k 26), so fall back to np.unique's sort there
+    if lg_k <= 15:
+        seen = np.zeros(1 << (lg_k + 6), dtype=bool)
+        seen[raw] = True
+        return np.nonzero(seen)[0].astype(np.uint32)
+    return np.unique(raw)
 
 
 def _dense_from_coupons(coupons: np.ndarray, lg_k: int) -> np.ndarray:

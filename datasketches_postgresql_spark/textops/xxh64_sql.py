@@ -266,6 +266,15 @@ def xxhash64_short_ascii_sql(
 
     tok = step(f"CAST({tok_expr} AS VARCHAR)")
     ln = step(f"CAST(strlen({tok}) AS HUGEINT)")
+    # fail LOUDLY outside the documented regime: >= 32 bytes enters
+    # XXH64's four-lane stripe loop, which this renderer deliberately does
+    # not implement — without this guard the tail rounds would compute a
+    # wrong-but-plausible hash and a gate could silently verify it
+    ln = step(
+        f"CASE WHEN ({ln}) >= 32 THEN CAST(error("
+        f"'xxhash64_short_ascii_sql: token of 32+ bytes is outside the "
+        f"short-string regime') AS HUGEINT) ELSE ({ln}) END"
+    )
     # tail geometry: rem bytes after the full words; r single bytes after
     # the optional 4-byte round; the byte rounds start at position st+1
     rem = step(f"({ln}) % 8")

@@ -121,3 +121,27 @@ class TestStringHash:
         sql, name = X.xxhash64_short_ascii_sql("tok", "t")
         for t, h in con.execute(f"SELECT tok, {name} FROM ({sql})").fetchall():
             assert ((h % nb) + nb) % nb == got[t], repr(t)
+
+
+def test_short_ascii_sql_rejects_32_byte_tokens():
+    """The renderer only implements the <32-byte (no stripe loop) regime;
+    a 32+ byte token must error loudly, not hash wrong-but-plausibly."""
+    import duckdb
+    import pytest
+
+    from datasketches_postgresql_spark.textops.xxh64_sql import (
+        xxhash64_short_ascii_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE toks AS SELECT repeat('a', 32) AS tok")
+    sql, alias = xxhash64_short_ascii_sql("tok", "toks")
+    with pytest.raises(duckdb.Error, match="short-string regime"):
+        con.execute(f"SELECT {alias} FROM ({sql})").fetchall()
+    # 31 bytes is inside the regime and still matches Spark's xxhash64
+    con.execute("CREATE TABLE toks31 AS SELECT repeat('a', 31) AS tok")
+    sql31, alias31 = xxhash64_short_ascii_sql("tok", "toks31")
+    (got,) = con.execute(f"SELECT {alias31} FROM ({sql31})").fetchone()
+    from datasketches_postgresql_spark.textops.xxh64_sql import xxhash64_string
+
+    assert got == xxhash64_string("a" * 31)

@@ -70,8 +70,9 @@ class TestCpcKernel:
         must agree bit-for-bit with a direct scalar transcription of the
         coupon definition (row = low lg_k hash bits, col = index of the
         lowest set bit of the remaining bits, all-zero rest -> max col),
-        including the edge hashes 0, 1, 2^63, 2^64-1."""
-        for lg_k in (4, 11, 21):
+        including the edge hashes 0, 1, 2^63, 2^64-1. lg_k 15/16 pins
+        both sides of the scatter-vs-sort dedup boundary."""
+        for lg_k in (4, 11, 15, 16, 21):
             vals = np.concatenate(
                 [_rand(100_000, 21), np.array([0, 1, 2**63, 2**64 - 1], dtype=np.uint64)]
             )
